@@ -1,0 +1,421 @@
+"""Batched factor families — the TPU-native replacement for bs_constraints
+(Ceres cost functors, SURVEY.md §2.3) and ``fuse_core::Constraint``.
+
+Each family is a fixed-capacity structure-of-arrays pytree: ``F`` factor slots
+with per-factor parameters, int32 block-slot indices into the window state, and
+an ``active`` mask. Linearization is generic: each family defines a pure
+per-factor residual over *retracted* block states; the whitened Jacobian is
+obtained with ``jax.jacfwd`` w.r.t. the stacked tangent perturbation and
+``vmap``-ed over the factor axis. This matches the reference's pattern of
+autodiff Ceres functors (e.g. normal_delta_imu_state_3d_cost_functor.h:18-141)
+while producing batched dense blocks ready for scatter-assembly into the
+normal equations (see :mod:`beam_slam_tpu.solver.gauss_newton`).
+
+Residual whitening (sqrt-information) is applied *inside* the residual, exactly
+as the reference applies ``A_`` inside each functor.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from beam_slam_tpu.core import lie
+from beam_slam_tpu.core.window import (IMU_DOF, LANDMARK_DOF, POSE_DOF,
+                                       WindowState)
+
+# Gravity in the world frame, matching bs_common/include/bs_common/utils.h:20-24
+# (GRAVITY_WORLD = [0, 0, -9.80665]).
+GRAVITY_NOMINAL = 9.80665
+GRAVITY_WORLD = jnp.asarray([0.0, 0.0, -GRAVITY_NOMINAL])
+
+# Block kinds a factor can reference.
+BLOCK_IMU = "imu"            # 15-dof ImuStates slot
+BLOCK_EXTRINSIC = "extrinsic"  # 6-dof Poses slot
+BLOCK_LANDMARK = "landmark"    # 3-dof Landmarks slot
+
+_BLOCK_DOF = {BLOCK_IMU: IMU_DOF, BLOCK_EXTRINSIC: POSE_DOF,
+              BLOCK_LANDMARK: LANDMARK_DOF}
+
+
+def block_dof(kind: str) -> int:
+    return _BLOCK_DOF[kind]
+
+
+def _gather_block(window: WindowState, kind: str, idx: jnp.ndarray):
+    if kind == BLOCK_IMU:
+        s = window.imu
+        return (s.q[idx], s.p[idx], s.v[idx], s.bg[idx], s.ba[idx])
+    if kind == BLOCK_EXTRINSIC:
+        s = window.extrinsics
+        return (s.q[idx], s.p[idx])
+    if kind == BLOCK_LANDMARK:
+        return (window.landmarks.pt[idx],)
+    raise ValueError(kind)
+
+
+def _block_active(window: WindowState, kind: str, idx: jnp.ndarray):
+    if kind == BLOCK_IMU:
+        return window.imu.active[idx]
+    if kind == BLOCK_EXTRINSIC:
+        return window.extrinsics.active[idx]
+    if kind == BLOCK_LANDMARK:
+        return window.landmarks.active[idx]
+    raise ValueError(kind)
+
+
+def _retract_block(kind: str, state, d):
+    if kind == BLOCK_IMU:
+        q, p, v, bg, ba = state
+        return (lie.quat_mul(q, lie.so3_exp_quat(d[0:3])), p + d[3:6],
+                v + d[6:9], bg + d[9:12], ba + d[12:15])
+    if kind == BLOCK_EXTRINSIC:
+        q, p = state
+        return (lie.quat_mul(q, lie.so3_exp_quat(d[0:3])), p + d[3:6])
+    if kind == BLOCK_LANDMARK:
+        return (state[0] + d,)
+    raise ValueError(kind)
+
+
+class FactorBatch(struct.PyTreeNode):
+    """Base class: subclasses set class attrs BLOCKS (tuple of kinds) and
+    RESIDUAL_DIM, carry ``slots`` [F, len(BLOCKS)] int32 and ``active`` [F]
+    bool, and implement ``residual(block_states, params) -> [RESIDUAL_DIM]``
+    for a single factor."""
+
+    slots: jnp.ndarray
+    active: jnp.ndarray
+
+    # Plain class attributes (NOT annotated — annotations would turn them into
+    # dataclass fields under flax.struct's dataclass transform).
+    BLOCKS = ()  # type: Tuple[str, ...]
+    RESIDUAL_DIM = 0
+
+    @property
+    def capacity(self) -> int:
+        return self.slots.shape[0]
+
+    # -- subclass API ------------------------------------------------------
+    def params(self) -> Any:
+        """Pytree of per-factor parameter arrays (leading dim F)."""
+        raise NotImplementedError
+
+    def residual(self, block_states: Sequence[Tuple[jnp.ndarray, ...]],
+                 params_one: Any) -> jnp.ndarray:
+        raise NotImplementedError
+
+    # -- generic machinery -------------------------------------------------
+    def local_dof(self) -> int:
+        return sum(block_dof(k) for k in type(self).BLOCKS)
+
+    def _split_delta(self, delta: jnp.ndarray):
+        out, o = [], 0
+        for k in type(self).BLOCKS:
+            d = block_dof(k)
+            out.append(delta[o:o + d])
+            o += d
+        return out
+
+    def residual_only(self, window: WindowState) -> jnp.ndarray:
+        """Masked whitened residuals [F, R] without Jacobians (for LM trial
+        cost evaluation)."""
+        cls = type(self)
+        gathered = tuple(
+            _gather_block(window, k, self.slots[:, b])
+            for b, k in enumerate(cls.BLOCKS)
+        )
+        r = jax.vmap(self.residual)(gathered, self.params())
+        mask = self.active
+        for b, k in enumerate(cls.BLOCKS):
+            mask = mask & _block_active(window, k, self.slots[:, b])
+        return r * mask.astype(r.dtype)[:, None]
+
+    def linearize(self, window: WindowState):
+        """Returns (r [F,R], J [F,R,Dl], col_idx [F,Dl], mask [F]).
+
+        r and J are whitened and pre-masked (zeroed for inactive factors /
+        blocks), so scatter-adds of masked entries are no-ops.
+        col_idx maps local tangent columns to dense global dof (landmark
+        blocks get -1: handled by Schur elimination, not dense assembly).
+        """
+        cls = type(self)
+        blocks = cls.BLOCKS
+        F = self.capacity
+        Dl = self.local_dof()
+        dtype = window.imu.q.dtype
+
+        gathered = tuple(
+            _gather_block(window, k, self.slots[:, b])
+            for b, k in enumerate(blocks)
+        )
+
+        def res_one(delta, gathered_one, params_one):
+            deltas = self._split_delta(delta)
+            retr = [
+                _retract_block(k, g, d)
+                for k, g, d in zip(blocks, gathered_one, deltas)
+            ]
+            return self.residual(retr, params_one)
+
+        zeros = jnp.zeros((F, Dl), dtype)
+        params = self.params()
+        r = jax.vmap(res_one)(zeros, gathered, params)
+        J = jax.vmap(jax.jacfwd(res_one, argnums=0))(zeros, gathered, params)
+
+        mask = self.active
+        for b, k in enumerate(blocks):
+            mask = mask & _block_active(window, k, self.slots[:, b])
+        m = mask.astype(dtype)
+        r = r * m[:, None]
+        J = J * m[:, None, None]
+
+        # Global dense column indices.
+        cols = []
+        K_imu = window.imu.capacity
+        for b, k in enumerate(blocks):
+            d = block_dof(k)
+            if k == BLOCK_IMU:
+                base = self.slots[:, b] * IMU_DOF
+            elif k == BLOCK_EXTRINSIC:
+                base = K_imu * IMU_DOF + self.slots[:, b] * POSE_DOF
+            else:
+                # Landmarks are not part of the dense system (they are Schur-
+                # eliminated); point their columns at the trash dof index
+                # num_dense_dof — the assembler allocates one padding row/col.
+                base = jnp.full((F,), window.num_dense_dof, jnp.int32)
+            cols.append(base[:, None] + jnp.arange(d, dtype=jnp.int32)[None, :])
+        col_idx = jnp.concatenate(cols, axis=1)
+        return r, J, col_idx, mask
+
+
+# ---------------------------------------------------------------------------
+# IMU factors
+# ---------------------------------------------------------------------------
+
+
+class ImuRelativeFactors(FactorBatch):
+    """15-dof preintegrated IMU factor between states i and j.
+
+    Residual math mirrors bs_constraints/inertial/
+    normal_delta_imu_state_3d_cost_functor.h:97-138 (RSS'15 / VINS-style with
+    first-order bias correction through the stored preintegration Jacobians;
+    residual order q,p,v,bg,ba; whitened by info_weight * sqrt_inv_cov).
+    """
+
+    dt: jnp.ndarray        # [F]
+    dq: jnp.ndarray        # [F, 4] preintegrated orientation delta
+    dp: jnp.ndarray        # [F, 3]
+    dv: jnp.ndarray        # [F, 3]
+    bg_lin: jnp.ndarray    # [F, 3] gyro bias linearization point (state i)
+    ba_lin: jnp.ndarray    # [F, 3]
+    dq_dbg: jnp.ndarray    # [F, 3, 3]
+    dp_dbg: jnp.ndarray    # [F, 3, 3]
+    dp_dba: jnp.ndarray    # [F, 3, 3]
+    dv_dbg: jnp.ndarray    # [F, 3, 3]
+    dv_dba: jnp.ndarray    # [F, 3, 3]
+    sqrt_info: jnp.ndarray  # [F, 15, 15] info_weight * sqrt_inv_cov
+
+    BLOCKS = (BLOCK_IMU, BLOCK_IMU)
+    RESIDUAL_DIM = 15
+
+    @staticmethod
+    def zeros(F: int, dtype=jnp.float32) -> "ImuRelativeFactors":
+        return ImuRelativeFactors(
+            slots=jnp.zeros((F, 2), jnp.int32),
+            active=jnp.zeros((F,), bool),
+            dt=jnp.zeros((F,), dtype),
+            dq=lie.quat_identity((F,), dtype),
+            dp=jnp.zeros((F, 3), dtype),
+            dv=jnp.zeros((F, 3), dtype),
+            bg_lin=jnp.zeros((F, 3), dtype),
+            ba_lin=jnp.zeros((F, 3), dtype),
+            dq_dbg=jnp.zeros((F, 3, 3), dtype),
+            dp_dbg=jnp.zeros((F, 3, 3), dtype),
+            dp_dba=jnp.zeros((F, 3, 3), dtype),
+            dv_dbg=jnp.zeros((F, 3, 3), dtype),
+            dv_dba=jnp.zeros((F, 3, 3), dtype),
+            sqrt_info=jnp.zeros((F, 15, 15), dtype),
+        )
+
+    def params(self):
+        return (self.dt, self.dq, self.dp, self.dv, self.bg_lin, self.ba_lin,
+                self.dq_dbg, self.dp_dbg, self.dp_dba, self.dv_dbg,
+                self.dv_dba, self.sqrt_info)
+
+    def residual(self, block_states, params_one):
+        (q_i, p_i, v_i, bg_i, ba_i), (q_j, p_j, v_j, bg_j, ba_j) = block_states
+        (dt, dq, dp, dv, bg_lin, ba_lin, dq_dbg, dp_dbg, dp_dba, dv_dbg,
+         dv_dba, A) = params_one
+        G = GRAVITY_WORLD.astype(q_i.dtype)
+
+        dbg = bg_i - bg_lin
+        dba = ba_i - ba_lin
+        q_corr = lie.quat_mul(dq, lie.delta_q(dq_dbg @ dbg))
+        p_corr = dp + dp_dbg @ dbg + dp_dba @ dba
+        v_corr = dv + dv_dbg @ dbg + dv_dba @ dba
+
+        q_ij = lie.quat_mul(lie.quat_conj(q_i), q_j)
+        res_q = 2.0 * lie.quat_mul(lie.quat_conj(q_corr), q_ij)[1:4]
+        res_p = lie.quat_rotate(
+            lie.quat_conj(q_i), p_j - p_i - dt * v_i - 0.5 * dt * dt * G
+        ) - p_corr
+        res_v = lie.quat_rotate(lie.quat_conj(q_i), v_j - v_i - dt * G) - v_corr
+        res = jnp.concatenate([res_q, res_p, res_v, bg_j - bg_i, ba_j - ba_i])
+        return A @ res
+
+
+class ImuPriorFactors(FactorBatch):
+    """15-dof prior on a full IMU state. Mirrors bs_constraints/inertial/
+    normal_prior_imu_state_3d_cost_functor.h:60-95 (orientation residual is
+    the SO(3) log of b_q⁻¹ ⊗ q; the rest are plain differences; whitened)."""
+
+    q0: jnp.ndarray   # [F, 4]
+    p0: jnp.ndarray   # [F, 3]
+    v0: jnp.ndarray   # [F, 3]
+    bg0: jnp.ndarray  # [F, 3]
+    ba0: jnp.ndarray  # [F, 3]
+    sqrt_info: jnp.ndarray  # [F, 15, 15]
+
+    BLOCKS = (BLOCK_IMU,)
+    RESIDUAL_DIM = 15
+
+    @staticmethod
+    def zeros(F: int, dtype=jnp.float32) -> "ImuPriorFactors":
+        return ImuPriorFactors(
+            slots=jnp.zeros((F, 1), jnp.int32),
+            active=jnp.zeros((F,), bool),
+            q0=lie.quat_identity((F,), dtype),
+            p0=jnp.zeros((F, 3), dtype),
+            v0=jnp.zeros((F, 3), dtype),
+            bg0=jnp.zeros((F, 3), dtype),
+            ba0=jnp.zeros((F, 3), dtype),
+            sqrt_info=jnp.zeros((F, 15, 15), dtype),
+        )
+
+    def params(self):
+        return (self.q0, self.p0, self.v0, self.bg0, self.ba0, self.sqrt_info)
+
+    def residual(self, block_states, params_one):
+        (q, p, v, bg, ba), = block_states
+        q0, p0, v0, bg0, ba0, A = params_one
+        res_q = lie.so3_log(lie.quat_mul(lie.quat_conj(q0), q))
+        res = jnp.concatenate([res_q, p - p0, v - v0, bg - bg0, ba - ba0])
+        return A @ res
+
+
+# ---------------------------------------------------------------------------
+# Pose factors
+# ---------------------------------------------------------------------------
+
+
+class RelativePoseFactors(FactorBatch):
+    """6-dof relative-pose factor between baselink states i and j, with the
+    measurement expressed in a (shared, optimizable) sensor frame via an
+    extrinsic block — the TPU equivalent of bs_constraints/relative_pose/
+    delta_pose_3d_with_extrinsics_cost_functor.h:19-109 (used by lidar
+    odometry and submap refinement).
+
+    Predicted sensor-frame delta: T_S1_S2 = (T_W_B1 · T_B_S)⁻¹ (T_W_B2 · T_B_S).
+    Residual: [log(q_meas⁻¹ ⊗ q_pred), p_pred - p_meas], whitened.
+    """
+
+    dq: jnp.ndarray        # [F, 4] measured delta orientation (sensor frame)
+    dp: jnp.ndarray        # [F, 3] measured delta translation
+    sqrt_info: jnp.ndarray  # [F, 6, 6]
+
+    BLOCKS = (BLOCK_IMU, BLOCK_IMU, BLOCK_EXTRINSIC)
+    RESIDUAL_DIM = 6
+
+    @staticmethod
+    def zeros(F: int, dtype=jnp.float32) -> "RelativePoseFactors":
+        return RelativePoseFactors(
+            slots=jnp.zeros((F, 3), jnp.int32),
+            active=jnp.zeros((F,), bool),
+            dq=lie.quat_identity((F,), dtype),
+            dp=jnp.zeros((F, 3), dtype),
+            sqrt_info=jnp.zeros((F, 6, 6), dtype),
+        )
+
+    def params(self):
+        return (self.dq, self.dp, self.sqrt_info)
+
+    def residual(self, block_states, params_one):
+        (q_i, p_i, *_), (q_j, p_j, *_), (q_e, p_e) = block_states
+        dq, dp, A = params_one
+        # T_S1_S2 = (T_WB1 T_BS)^-1 (T_WB2 T_BS)
+        q_ws1 = lie.quat_mul(q_i, q_e)
+        q_ws2 = lie.quat_mul(q_j, q_e)
+        p_ws1 = p_i + lie.quat_rotate(q_i, p_e)
+        p_ws2 = p_j + lie.quat_rotate(q_j, p_e)
+        q_pred = lie.quat_mul(lie.quat_conj(q_ws1), q_ws2)
+        p_pred = lie.quat_rotate(lie.quat_conj(q_ws1), p_ws2 - p_ws1)
+        res_q = lie.so3_log(lie.quat_mul(lie.quat_conj(dq), q_pred))
+        return A @ jnp.concatenate([res_q, p_pred - dp])
+
+
+class AbsolutePoseFactors(FactorBatch):
+    """6-dof prior on the pose part of an IMU state (fuse
+    AbsolutePose3DStampedConstraint equivalent; also the per-scan prior of
+    scan_registration_base and the window-start pose prior)."""
+
+    q0: jnp.ndarray  # [F, 4]
+    p0: jnp.ndarray  # [F, 3]
+    sqrt_info: jnp.ndarray  # [F, 6, 6]
+
+    BLOCKS = (BLOCK_IMU,)
+    RESIDUAL_DIM = 6
+
+    @staticmethod
+    def zeros(F: int, dtype=jnp.float32) -> "AbsolutePoseFactors":
+        return AbsolutePoseFactors(
+            slots=jnp.zeros((F, 1), jnp.int32),
+            active=jnp.zeros((F,), bool),
+            q0=lie.quat_identity((F,), dtype),
+            p0=jnp.zeros((F, 3), dtype),
+            sqrt_info=jnp.zeros((F, 6, 6), dtype),
+        )
+
+    def params(self):
+        return (self.q0, self.p0, self.sqrt_info)
+
+    def residual(self, block_states, params_one):
+        (q, p, *_), = block_states
+        q0, p0, A = params_one
+        res_q = lie.so3_log(lie.quat_mul(lie.quat_conj(q0), q))
+        return A @ jnp.concatenate([res_q, p - p0])
+
+
+class GravityAlignmentFactors(FactorBatch):
+    """2-dof roll/pitch alignment factor: xy components of R_WB⁻¹... mirrors
+    bs_constraints/global/gravity_alignment_cost_functor.h:32-82 — the
+    residual is the xy part of (R_WB · ĝ_B) + ĝ_W scaled by the measurement
+    (gravity direction measured by the accelerometer in the body frame)."""
+
+    g_body: jnp.ndarray     # [F, 3] unit gravity direction in body frame
+    sqrt_info: jnp.ndarray  # [F, 2, 2]
+
+    BLOCKS = (BLOCK_IMU,)
+    RESIDUAL_DIM = 2
+
+    @staticmethod
+    def zeros(F: int, dtype=jnp.float32) -> "GravityAlignmentFactors":
+        return GravityAlignmentFactors(
+            slots=jnp.zeros((F, 1), jnp.int32),
+            active=jnp.zeros((F,), bool),
+            g_body=jnp.tile(jnp.asarray([0.0, 0.0, -1.0], dtype), (F, 1)),
+            sqrt_info=jnp.zeros((F, 2, 2), dtype),
+        )
+
+    def params(self):
+        return (self.g_body, self.sqrt_info)
+
+    def residual(self, block_states, params_one):
+        (q, *_), = block_states
+        g_body, A = params_one
+        # Rotate the body-frame gravity direction into world; when aligned it
+        # equals [0, 0, -1], so the xy components are the roll/pitch error.
+        g_world = lie.quat_rotate(q, g_body)
+        return A @ g_world[0:2]

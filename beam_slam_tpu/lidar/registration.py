@@ -1,0 +1,229 @@
+"""LOAM scan-to-map registration as a fixed-iteration batched GN kernel.
+
+TPU-native replacement for libbeam's ``LoamMatcher`` as driven by the
+reference's ScanToMapLoamRegistration (bs_models/src/lib/scan_registration/
+scan_to_map_registration.cpp) and MultiScanLoamRegistration
+(multi_scan_registration.cpp): point-to-line residuals on edge features and
+point-to-plane residuals on surface features against a feature map, solved by
+Gauss-Newton on the 6-dof pose.
+
+Design for TPU (SURVEY.md §7.5):
+  * correspondence search is brute-force k-NN via a dense distance matrix
+    (‖a‖² + ‖b‖² − 2a·bᵀ — an MXU matmul) with masking, instead of kd-trees;
+  * line/plane fits are closed-form per-correspondence batched ops (power
+    iteration for the principal direction, small least-squares for normals);
+  * the GN loop is a fixed number of iterations with masked inlier weights —
+    static shapes throughout, one compiled kernel per (scan-cap, map-cap).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from beam_slam_tpu.core import lie
+from beam_slam_tpu.lidar.cloud import FeatureCloud
+
+
+class LoamRegistrationConfig(NamedTuple):
+    iterations: int = 8
+    k_edge: int = 5
+    # k_surf must be large enough to reach across scan rings: the k nearest
+    # neighbors of a surface point are often collinear along its own ring,
+    # which leaves the plane normal unconstrained and biases the solve.
+    k_surf: int = 10
+    max_corr_dist: float = 1.0         # correspondence gate (m)
+    edge_eig_ratio_min: float = 3.0    # λ1/λ2 gate for valid line fit
+    plane_fit_tol: float = 0.1         # max |residual| of plane fit points (m)
+    # rank-2 gate: 2nd principal scatter eigenvalue must be a real fraction of
+    # the 1st, otherwise the neighbor set is a line, not a plane.
+    plane_planarity_min: float = 0.02
+    min_inliers: int = 20
+
+
+class RegistrationResult(NamedTuple):
+    q: jnp.ndarray             # [4] refined T_MAP_SCAN rotation
+    p: jnp.ndarray             # [3] refined translation
+    information: jnp.ndarray   # [6, 6] GN information (JᵀWJ), tangent order [dθ, dp]
+    mean_residual: jnp.ndarray  # [] mean |inlier residual|
+    n_inliers: jnp.ndarray     # [] int
+    converged: jnp.ndarray     # [] bool (enough inliers & finite solve)
+
+
+def _knn(query: jnp.ndarray, q_valid, ref: jnp.ndarray, ref_valid, k: int):
+    """Brute-force k-NN: returns (idx [Nq,k], dist2 [Nq,k]). Invalid refs are
+    pushed to +inf distance."""
+    d2 = (jnp.sum(query * query, axis=1, keepdims=True)
+          + jnp.sum(ref * ref, axis=1)[None, :]
+          - 2.0 * query @ ref.T)
+    d2 = jnp.where(ref_valid[None, :], d2, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2, k)
+    return idx, -neg
+
+
+def _edge_residuals(pts_map, pts_valid, map_edges, map_valid,
+                    cfg: LoamRegistrationConfig):
+    """Fit a line to the k-NN of each (map-frame) scan edge point; return the
+    correspondence geometry (centroid, direction, weight) — held fixed for
+    the GN step that follows (classic ICP-style alternation)."""
+    idx, d2 = _knn(pts_map, pts_valid, map_edges, map_valid, cfg.k_edge)
+    nb = map_edges[idx]                              # [N, k, 3]
+    nb_ok = map_valid[idx] & jnp.isfinite(d2)
+    centroid = jnp.mean(nb, axis=1)
+    X = nb - centroid[:, None, :]
+    S = jnp.einsum("nki,nkj->nij", X, X)             # [N, 3, 3] scatter
+
+    # principal direction via shifted power iteration (deterministic init)
+    d = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], pts_map.dtype),
+                         centroid.shape) + 0.01 * centroid
+    for _ in range(4):
+        d = jnp.einsum("nij,nj->ni", S, d)
+        d = d / jnp.maximum(jnp.linalg.norm(d, axis=1, keepdims=True), 1e-9)
+    lam1 = jnp.einsum("ni,nij,nj->n", d, S, d)
+    lam_rest = 0.5 * (jnp.trace(S, axis1=1, axis2=2) - lam1)
+    line_ok = lam1 > cfg.edge_eig_ratio_min * jnp.maximum(lam_rest, 1e-9)
+
+    # sanitize: any non-finite fit must contribute exactly zero (NaN·0 = NaN
+    # would otherwise leak into the GN system through masked rows)
+    finite = (jnp.all(jnp.isfinite(centroid), axis=1)
+              & jnp.all(jnp.isfinite(d), axis=1))
+    centroid = jnp.where(finite[:, None], centroid, 0.0)
+    d = jnp.where(finite[:, None], d, jnp.asarray([1.0, 0.0, 0.0], d.dtype))
+
+    w = (pts_valid & line_ok & finite & jnp.all(nb_ok, axis=1)
+         & (d2[:, 0] < cfg.max_corr_dist ** 2))
+    return centroid, d, w
+
+
+def _plane_residuals(pts_map, pts_valid, map_surfs, map_valid,
+                     cfg: LoamRegistrationConfig):
+    """Fit plane n·x + 1 = 0 to the k-NN of each scan surface point (A-LOAM
+    style least squares); returns (unit normal, offset, weight)."""
+    idx, d2 = _knn(pts_map, pts_valid, map_surfs, map_valid, cfg.k_surf)
+    nb = map_surfs[idx]                              # [N, k, 3]
+    nb_ok = map_valid[idx] & jnp.isfinite(d2)
+    A = nb
+    AtA = jnp.einsum("nki,nkj->nij", A, A) + 1e-6 * jnp.eye(3, dtype=A.dtype)
+    Atb = -jnp.sum(A, axis=1)
+    n = jnp.linalg.solve(AtA, Atb[..., None])[..., 0]  # plane: n·x + 1 = 0
+    norm = jnp.maximum(jnp.linalg.norm(n, axis=1, keepdims=True), 1e-9)
+    n_hat = n / norm
+    offset = 1.0 / norm[:, 0]
+    # planarity gate: neighbor scatter must be rank ≥ 2 (collinear same-ring
+    # neighbor sets fit a plane perfectly but leave its normal free)
+    centroid = jnp.mean(nb, axis=1)
+    X = nb - centroid[:, None, :]
+    S = jnp.einsum("nki,nkj->nij", X, X)
+    d1 = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], nb.dtype),
+                          centroid.shape) + 0.01 * centroid
+    for _ in range(4):
+        d1 = jnp.einsum("nij,nj->ni", S, d1)
+        d1 = d1 / jnp.maximum(jnp.linalg.norm(d1, axis=1, keepdims=True), 1e-9)
+    lam1 = jnp.einsum("ni,nij,nj->n", d1, S, d1)
+    # deflate and find λ2
+    S2 = S - lam1[:, None, None] * jnp.einsum("ni,nj->nij", d1, d1)
+    d2v = jnp.cross(d1, jnp.asarray([0.577, 0.577, 0.578], nb.dtype))
+    for _ in range(4):
+        d2v = jnp.einsum("nij,nj->ni", S2, d2v)
+        d2v = d2v / jnp.maximum(jnp.linalg.norm(d2v, axis=1, keepdims=True),
+                                1e-9)
+    lam2 = jnp.einsum("ni,nij,nj->n", d2v, S2, d2v)
+    planar = lam2 > cfg.plane_planarity_min * jnp.maximum(lam1, 1e-9)
+
+    # sanitize non-finite fits (degenerate neighbor sets) before masking
+    finite = (jnp.all(jnp.isfinite(n_hat), axis=1) & jnp.isfinite(offset)
+              & planar)
+    n_hat = jnp.where(finite[:, None], n_hat,
+                      jnp.asarray([0.0, 0.0, 1.0], n_hat.dtype))
+    offset = jnp.where(finite, offset, 0.0)
+
+    # fit quality: every neighbor close to the plane
+    fit_res = jnp.abs(jnp.einsum("nki,ni->nk", nb, n_hat)
+                      + offset[:, None])
+    plane_ok = jnp.all(fit_res < cfg.plane_fit_tol, axis=1)
+    w = (pts_valid & plane_ok & finite & jnp.all(nb_ok, axis=1)
+         & (d2[:, 0] < cfg.max_corr_dist ** 2))
+    return n_hat, offset, w
+
+
+def register_loam(scan: FeatureCloud, map_edges, map_edges_valid,
+                  map_surfs, map_surfs_valid, q0, p0,
+                  cfg: LoamRegistrationConfig = LoamRegistrationConfig()
+                  ) -> RegistrationResult:
+    """Refine T_MAP_SCAN = (q, p) from the initial guess (q0, p0).
+
+    ``scan`` features are in the scan frame; maps are world/map-frame point
+    sets (strong+weak features concatenated by the caller).
+    """
+    edges = jnp.concatenate([scan.edge_strong, scan.edge_weak], axis=0)
+    edges_valid = jnp.concatenate([scan.edge_strong_valid,
+                                   scan.edge_weak_valid], axis=0)
+    surfs = jnp.concatenate([scan.surf_strong, scan.surf_weak], axis=0)
+    surfs_valid = jnp.concatenate([scan.surf_strong_valid,
+                                   scan.surf_weak_valid], axis=0)
+    dtype = edges.dtype
+
+    def body(carry, _):
+        q, p = carry
+        e_map = lie.quat_rotate(q[None, :], edges) + p[None, :]
+        s_map = lie.quat_rotate(q[None, :], surfs) + p[None, :]
+
+        cen, dirs, w_e = _edge_residuals(e_map, edges_valid, map_edges,
+                                         map_edges_valid, cfg)
+        n_hat, off, w_s = _plane_residuals(s_map, surfs_valid, map_surfs,
+                                           map_surfs_valid, cfg)
+
+        def residuals(delta):
+            dq = lie.so3_exp_quat(delta[0:3])
+            q_new = lie.quat_mul(q, dq)
+            p_new = p + delta[3:6]
+            e = lie.quat_rotate(q_new[None, :], edges) + p_new[None, :]
+            s = lie.quat_rotate(q_new[None, :], surfs) + p_new[None, :]
+            # point-to-line distance; eps-guarded sqrt: the plain norm has a
+            # NaN jacfwd gradient when the cross product is exactly zero
+            # (point on the line), which poisons the whole GN system.
+            cr = jnp.cross(e - cen, dirs)
+            r_e = jnp.sqrt(jnp.sum(cr * cr, axis=1) + 1e-12)
+            r_s = jnp.einsum("ni,ni->n", s, n_hat) + off   # point-to-plane
+            return jnp.concatenate([r_e * w_e, r_s * w_s])
+
+        delta0 = jnp.zeros(6, dtype)
+        r = residuals(delta0)
+        J = jax.jacfwd(residuals)(delta0)
+        H = J.T @ J
+        g = -J.T @ r
+        Hd = H + 1e-6 * jnp.eye(6, dtype=dtype)
+        delta = jnp.linalg.solve(Hd, g)
+        ok = jnp.all(jnp.isfinite(delta))
+        delta = jnp.where(ok, delta, 0.0)
+        q_new = lie.quat_normalize(lie.quat_mul(q, lie.so3_exp_quat(delta[0:3])))
+        p_new = p + delta[3:6]
+        n_in = jnp.sum(w_e) + jnp.sum(w_s)
+        mean_r = jnp.sum(jnp.abs(r)) / jnp.maximum(n_in, 1)
+        return (q_new, p_new), (H, n_in, mean_r, ok)
+
+    (q, p), (Hs, n_ins, mean_rs, oks) = jax.lax.scan(
+        body, (q0.astype(dtype), p0.astype(dtype)), None,
+        length=cfg.iterations)
+    H = Hs[-1]
+    n_in = n_ins[-1]
+    converged = (n_in >= cfg.min_inliers) & oks[-1]
+    return RegistrationResult(q=q, p=p, information=H,
+                              mean_residual=mean_rs[-1],
+                              n_inliers=n_in.astype(jnp.int32),
+                              converged=converged)
+
+
+def sqrt_info_from_information(H: jnp.ndarray, scale: float = 1.0,
+                               floor: float = 1e-4) -> jnp.ndarray:
+    """Whitener A with AᵀA = scale·H for use in relative-pose factors
+    (reference: covariance from Ceres or fixed, scan_registration_base.h).
+    Falls back to floor·I if H is not SPD."""
+    dtype = H.dtype
+    Hs = scale * H + 1e-9 * jnp.eye(H.shape[0], dtype=dtype)
+    L = jnp.linalg.cholesky(Hs)
+    A = jnp.swapaxes(L, -1, -2)
+    ok = jnp.all(jnp.isfinite(A))
+    return jnp.where(ok, A, floor * jnp.eye(H.shape[0], dtype=dtype))

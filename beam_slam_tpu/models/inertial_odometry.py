@@ -1,0 +1,266 @@
+"""Inertial odometry: high-rate IMU state propagation + trigger-driven IMU
+factor creation.
+
+Re-implements:
+  * ``bs_models::ImuPreintegration`` (bs_models/src/lib/imu/
+    imu_preintegration.cpp): keyframe-to-keyframe preintegrator, PredictState
+    (:220-244), GetPose/GetRelativeMotion odometry (:127-194),
+    RegisterNewImuPreintegratedFactor (:246-320 — prior on the first window,
+    then 15-dof relative factors), UpdateGraph re-basing on optimized states.
+  * ``bs_models::InertialOdometry`` plugin (bs_models/src/inertial_odometry.cpp):
+    processIMU (:150-169), processTrigger (:171-211), bias-blowup watchdog
+    (:249-260 — reset when |bg| > 1.0 or |ba| > 2.5), graph-update rebasing
+    (:235-261).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from beam_slam_tpu.core import lie
+from beam_slam_tpu.imu import preintegration as pre
+from beam_slam_tpu.solver.smoother import FixedLagSmoother, Transaction
+
+
+@dataclasses.dataclass
+class ImuParams:
+    """Noise model + factor weighting (bs_parameters
+    models/inertial_odometry_params.h / calibration_params.yaml)."""
+
+    cov_gyro_noise: float = 1e-4
+    cov_accel_noise: float = 1e-3
+    cov_gyro_bias: float = 1e-6
+    cov_accel_bias: float = 1e-5
+    info_weight: float = 1.0
+    bg_limit: float = 1.0    # watchdog thresholds (inertial_odometry.cpp:249)
+    ba_limit: float = 2.5
+    # publish odometry every Nth IMU sample (1 = reference behavior of
+    # odometry-per-IMU-message; >1 trades rate for host→device dispatches)
+    odom_decimation: int = 10
+
+    def noise(self) -> pre.PreintNoise:
+        return pre.PreintNoise.isotropic(
+            np.sqrt(self.cov_gyro_noise), np.sqrt(self.cov_accel_noise),
+            np.sqrt(self.cov_gyro_bias), np.sqrt(self.cov_accel_bias))
+
+
+class ImuBuffer:
+    """Time-ordered raw IMU sample buffer (inertial_odometry.h:33-69)."""
+
+    def __init__(self, max_len: int = 20000):
+        self.t: List[float] = []
+        self.w: List[np.ndarray] = []
+        self.a: List[np.ndarray] = []
+        self.max_len = max_len
+
+    def add(self, t: float, w, a):
+        self.t.append(float(t))
+        self.w.append(np.asarray(w, np.float32))
+        self.a.append(np.asarray(a, np.float32))
+        if len(self.t) > self.max_len:
+            del self.t[0], self.w[0], self.a[0]
+
+    def clear_before(self, t: float):
+        """PreIntegrator::Clear — drop samples strictly before t."""
+        i = 0
+        while i < len(self.t) and self.t[i] < t:
+            i += 1
+        del self.t[:i], self.w[:i], self.a[:i]
+
+    def window(self, t0: float, t1: float, pad_to: int = 256):
+        """Samples with t0 <= t < t1 plus per-sample integration dts reaching
+        exactly t1 (PreIntegrator::Integrate windowing semantics,
+        preintegrator.cpp:97-110).
+
+        Arrays are padded to the next multiple of ``pad_to`` (dt = 0 marks
+        padding, which the scan masks out) so the jitted preintegration kernel
+        compiles for a handful of bucketed shapes instead of once per length.
+        """
+        sel = [i for i, t in enumerate(self.t) if t0 <= t < t1]
+        if not sel:
+            return None
+        ts = [self.t[i] for i in sel] + [t1]
+        dts = np.diff(ts).astype(np.float32)
+        w = np.stack([self.w[i] for i in sel])
+        a = np.stack([self.a[i] for i in sel])
+        n = len(dts)
+        cap = ((n + pad_to - 1) // pad_to) * pad_to
+        if cap > n:
+            dts = np.concatenate([dts, np.zeros(cap - n, np.float32)])
+            w = np.concatenate([w, np.zeros((cap - n, 3), np.float32)])
+            a = np.concatenate([a, np.zeros((cap - n, 3), np.float32)])
+        return dts, w, a
+
+
+class ImuPreintegrationModel:
+    """Keyframe-anchored preintegration state machine
+    (bs_models::ImuPreintegration)."""
+
+    def __init__(self, params: ImuParams = ImuParams()):
+        self.params = params
+        self.noise = params.noise()
+        self.buffer = ImuBuffer()
+        # current keyframe (anchor) state
+        self.t_kf: Optional[float] = None
+        self.q = np.array([1, 0, 0, 0], np.float32)
+        self.p = np.zeros(3, np.float32)
+        self.v = np.zeros(3, np.float32)
+        self.bg = np.zeros(3, np.float32)
+        self.ba = np.zeros(3, np.float32)
+        self.first_factor_sent = False
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self, t: float, q, p, v, bg=None, ba=None):
+        """SetStart (imu_preintegration.cpp): anchor the first keyframe."""
+        self.t_kf = float(t)
+        self.q = np.asarray(q, np.float32)
+        self.p = np.asarray(p, np.float32)
+        self.v = np.asarray(v, np.float32)
+        if bg is not None:
+            self.bg = np.asarray(bg, np.float32)
+        if ba is not None:
+            self.ba = np.asarray(ba, np.float32)
+        self.buffer.clear_before(self.t_kf)
+        self.first_factor_sent = False
+
+    def add_imu(self, t: float, w, a):
+        self.buffer.add(t, w, a)
+
+    # -- odometry ----------------------------------------------------------
+    def _integrate_to(self, t: float) -> Optional[pre.Delta]:
+        win = self.buffer.window(self.t_kf, t)
+        if win is None:
+            return None
+        dts, w, a = win
+        return pre.preintegrate(
+            jnp.asarray(dts), jnp.asarray(w), jnp.asarray(a),
+            jnp.asarray(self.bg), jnp.asarray(self.ba), self.noise,
+            compute_information=False)
+
+    def get_pose(self, t: float):
+        """Predicted world-frame state at t (GetPose / PredictState)."""
+        d = self._integrate_to(t)
+        if d is None:
+            return np.asarray(self.q), np.asarray(self.p), np.asarray(self.v)
+        q, p, v = pre.predict_state(d, jnp.asarray(self.q),
+                                    jnp.asarray(self.p), jnp.asarray(self.v))
+        return np.asarray(q), np.asarray(p), np.asarray(v)
+
+    def get_relative_motion(self, t1: float, t2: float):
+        """Relative pose between two prediction times (GetRelativeMotion,
+        imu_preintegration.cpp:127-194) — drives the odometry topic."""
+        q1, p1, _ = self.get_pose(t1)
+        q2, p2, _ = self.get_pose(t2)
+        dq = lie.quat_mul(lie.quat_conj(jnp.asarray(q1)), jnp.asarray(q2))
+        dp = lie.quat_rotate(lie.quat_conj(jnp.asarray(q1)),
+                             jnp.asarray(p2 - p1))
+        return np.asarray(dq), np.asarray(dp)
+
+    # -- factor creation ---------------------------------------------------
+    def register_factor(self, t_new: float, txn: Transaction,
+                        prior_sqrt_info: Optional[np.ndarray] = None) -> bool:
+        """RegisterNewImuPreintegratedFactor (imu_preintegration.cpp:246-320):
+        emit the new state variable, a prior on the first window, and the
+        15-dof relative factor keyframe→t_new; advance the keyframe anchor."""
+        if self.t_kf is None or t_new <= self.t_kf:
+            return False
+        win = self.buffer.window(self.t_kf, t_new)
+        if win is None:
+            return False
+        dts, w, a = win
+        d = pre.preintegrate(
+            jnp.asarray(dts), jnp.asarray(w), jnp.asarray(a),
+            jnp.asarray(self.bg), jnp.asarray(self.ba), self.noise,
+            compute_information=True)
+
+        if not self.first_factor_sent:
+            txn.add_imu_state(self.t_kf, self.q, self.p, self.v, self.bg,
+                              self.ba)
+            if prior_sqrt_info is None:
+                prior_sqrt_info = 1e2 * np.eye(15, dtype=np.float32)
+            txn.add_imu_prior(self.t_kf, self.q, self.p, self.v, self.bg,
+                              self.ba, prior_sqrt_info)
+            self.first_factor_sent = True
+
+        q_j, p_j, v_j = pre.predict_state(
+            d, jnp.asarray(self.q), jnp.asarray(self.p), jnp.asarray(self.v))
+        txn.add_imu_state(t_new, np.asarray(q_j), np.asarray(p_j),
+                          np.asarray(v_j), self.bg, self.ba)
+        txn.add_imu_relative(self.t_kf, t_new, d, self.bg, self.ba,
+                             info_weight=self.params.info_weight)
+
+        # advance anchor
+        self.t_kf = float(t_new)
+        self.q = np.asarray(q_j, np.float32)
+        self.p = np.asarray(p_j, np.float32)
+        self.v = np.asarray(v_j, np.float32)
+        self.buffer.clear_before(self.t_kf)
+        return True
+
+    def update_from_graph(self, state: dict, t: float):
+        """UpdateGraph re-basing (imu_preintegration.cpp / onGraphUpdate
+        :235-261): adopt the optimized keyframe state."""
+        if self.t_kf is not None and abs(t - self.t_kf) < 1e-9:
+            self.q = state["q"].astype(np.float32)
+            self.p = state["p"].astype(np.float32)
+            self.v = state["v"].astype(np.float32)
+            self.bg = state["bg"].astype(np.float32)
+            self.ba = state["ba"].astype(np.float32)
+
+
+class InertialOdometry:
+    """The plugin: consumes raw IMU, serves odometry, emits factors on
+    trigger stamps (VO/LO keyframes), watches bias health."""
+
+    def __init__(self, smoother: FixedLagSmoother,
+                 params: ImuParams = ImuParams()):
+        self.smoother = smoother
+        self.model = ImuPreintegrationModel(params)
+        self.params = params
+        self.initialized = False
+        self.reset_count = 0
+        self.odometry_log: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        smoother.register_on_update(self._on_graph_update)
+
+    def initialize(self, t: float, q, p, v, bg=None, ba=None):
+        """Unblocked by the ignition graph update
+        (inertial_odometry.cpp:263-330)."""
+        self.model.start(t, q, p, v, bg, ba)
+        self.initialized = True
+
+    def process_imu(self, t: float, w, a):
+        """processIMU (:150-169): buffer + publish high-rate odometry."""
+        self.model.add_imu(t, w, a)
+        self._imu_count = getattr(self, "_imu_count", 0) + 1
+        if self.initialized and \
+                self._imu_count % self.params.odom_decimation == 0:
+            q, p, _ = self.model.get_pose(t)
+            self.odometry_log.append((t, q, p))
+
+    def process_trigger(self, t: float):
+        """processTrigger (:171-211): create the IMU factor up to stamp t."""
+        if not self.initialized:
+            return False
+        txn = Transaction(stamp=t)
+        if self.model.register_factor(t, txn):
+            self.smoother.send_transaction(txn)
+            return True
+        return False
+
+    def _on_graph_update(self, smoother: FixedLagSmoother):
+        if not self.initialized or self.model.t_kf is None:
+            return
+        t = self.model.t_kf
+        if t in smoother.slot_of_stamp:
+            st = smoother.get_state(t)
+            self.model.update_from_graph(st, t)
+            # watchdog (:249-260)
+            if (np.linalg.norm(st["bg"]) > self.params.bg_limit
+                    or np.linalg.norm(st["ba"]) > self.params.ba_limit):
+                self.reset_count += 1
+                self.initialized = False

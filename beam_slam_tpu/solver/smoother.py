@@ -1,0 +1,542 @@
+"""Fixed-lag smoother — the host-side runtime replacing
+``bs_optimizers::FixedLagSmoother`` (bs_optimizers/src/fixed_lag_smoother.cpp)
+and the fuse transaction/graph machinery it drives.
+
+Architecture (SURVEY.md §7): the *host* keeps cheap NumPy mirrors of the
+fixed-capacity window state and factor arenas plus the stamp→slot index maps;
+sensor models submit :class:`Transaction` deltas (the ``fuse_core::Transaction``
+equivalent, fixed_lag_smoother.cpp:187-236); each optimizer tick merges pending
+transactions, expires the lag window (pseudo-marginalization:
+fixed_lag_smoother.cpp:244-268 — drop stale variables+constraints, then prior
+with cov 1e-5·I on the new window-start IMU state, GetWindowStartState
+:742-797), pushes arrays to device once, runs the jitted batched LM solve
+(:mod:`beam_slam_tpu.solver.gauss_newton`), pulls results back, and notifies
+subscribers (the ``notify()`` fan-out, :308).
+
+Static shapes: capacities are fixed at construction; slot free-lists recycle
+expired entries so steady-state never recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from beam_slam_tpu.core import factors as fc
+from beam_slam_tpu.core import lie
+from beam_slam_tpu.core.window import WindowState
+from beam_slam_tpu.solver import gauss_newton as gn
+
+Stamp = float  # seconds; host-side bookkeeping is float64
+
+
+# ---------------------------------------------------------------------------
+# Transactions
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ImuStateInit:
+    stamp: Stamp
+    q: np.ndarray
+    p: np.ndarray
+    v: np.ndarray
+    bg: np.ndarray
+    ba: np.ndarray
+
+
+@dataclasses.dataclass
+class ImuRelativeSpec:
+    """Preintegrated IMU factor between stamps (ImuState3DStampedTransaction::
+    AddRelativeImuStateConstraint equivalent)."""
+    stamp_i: Stamp
+    stamp_j: Stamp
+    dt: float
+    dq: np.ndarray
+    dp: np.ndarray
+    dv: np.ndarray
+    bg_lin: np.ndarray
+    ba_lin: np.ndarray
+    dq_dbg: np.ndarray
+    dp_dbg: np.ndarray
+    dp_dba: np.ndarray
+    dv_dbg: np.ndarray
+    dv_dba: np.ndarray
+    sqrt_info: np.ndarray  # [15,15] info_weight * sqrt_inv_cov
+
+
+@dataclasses.dataclass
+class ImuPriorSpec:
+    stamp: Stamp
+    q: np.ndarray
+    p: np.ndarray
+    v: np.ndarray
+    bg: np.ndarray
+    ba: np.ndarray
+    sqrt_info: np.ndarray  # [15,15]
+
+
+@dataclasses.dataclass
+class RelPoseSpec:
+    """Relative pose factor (Pose3DStampedTransaction::AddPoseConstraint),
+    measured in the frame of extrinsic ``sensor``; sensor=None → baselink
+    (identity extrinsic slot 0)."""
+    stamp_i: Stamp
+    stamp_j: Stamp
+    dq: np.ndarray
+    dp: np.ndarray
+    sqrt_info: np.ndarray  # [6,6]
+    sensor: Optional[str] = None
+
+
+@dataclasses.dataclass
+class AbsPoseSpec:
+    stamp: Stamp
+    q: np.ndarray
+    p: np.ndarray
+    sqrt_info: np.ndarray  # [6,6]
+
+
+@dataclasses.dataclass
+class GravitySpec:
+    stamp: Stamp
+    g_body: np.ndarray    # unit gravity direction in body frame
+    sqrt_info: np.ndarray  # [2,2]
+
+
+@dataclasses.dataclass
+class Transaction:
+    """Atomic graph delta (fuse_core::Transaction). ``stamp`` orders the
+    queue; sensor models fill the add-lists via the helpers."""
+
+    stamp: Stamp = 0.0
+    imu_states: List[ImuStateInit] = dataclasses.field(default_factory=list)
+    imu_relative: List[ImuRelativeSpec] = dataclasses.field(default_factory=list)
+    imu_priors: List[ImuPriorSpec] = dataclasses.field(default_factory=list)
+    rel_poses: List[RelPoseSpec] = dataclasses.field(default_factory=list)
+    abs_poses: List[AbsPoseSpec] = dataclasses.field(default_factory=list)
+    gravity: List[GravitySpec] = dataclasses.field(default_factory=list)
+
+    def add_imu_state(self, stamp, q, p, v, bg=None, ba=None):
+        self.imu_states.append(ImuStateInit(
+            float(stamp), np.asarray(q, np.float64), np.asarray(p, np.float64),
+            np.asarray(v, np.float64),
+            np.zeros(3) if bg is None else np.asarray(bg, np.float64),
+            np.zeros(3) if ba is None else np.asarray(ba, np.float64)))
+        return self
+
+    def add_imu_relative(self, stamp_i, stamp_j, delta, bg_lin, ba_lin,
+                         info_weight=1.0):
+        """``delta`` is a preintegration.Delta."""
+        self.imu_relative.append(ImuRelativeSpec(
+            float(stamp_i), float(stamp_j), float(delta.t),
+            np.asarray(delta.q), np.asarray(delta.p), np.asarray(delta.v),
+            np.asarray(bg_lin), np.asarray(ba_lin),
+            np.asarray(delta.dq_dbg), np.asarray(delta.dp_dbg),
+            np.asarray(delta.dp_dba), np.asarray(delta.dv_dbg),
+            np.asarray(delta.dv_dba),
+            info_weight * np.asarray(delta.sqrt_inv_cov)))
+        return self
+
+    def add_imu_prior(self, stamp, q, p, v, bg, ba, sqrt_info):
+        self.imu_priors.append(ImuPriorSpec(
+            float(stamp), np.asarray(q), np.asarray(p), np.asarray(v),
+            np.asarray(bg), np.asarray(ba), np.asarray(sqrt_info)))
+        return self
+
+    def add_relative_pose(self, stamp_i, stamp_j, dq, dp, sqrt_info,
+                          sensor=None):
+        self.rel_poses.append(RelPoseSpec(
+            float(stamp_i), float(stamp_j), np.asarray(dq), np.asarray(dp),
+            np.asarray(sqrt_info), sensor))
+        return self
+
+    def add_abs_pose(self, stamp, q, p, sqrt_info):
+        self.abs_poses.append(AbsPoseSpec(
+            float(stamp), np.asarray(q), np.asarray(p), np.asarray(sqrt_info)))
+        return self
+
+    def add_gravity(self, stamp, g_body, sqrt_info):
+        self.gravity.append(GravitySpec(
+            float(stamp), np.asarray(g_body), np.asarray(sqrt_info)))
+        return self
+
+    def merge(self, other: "Transaction"):
+        """fuse_core::Transaction::merge."""
+        for f in ("imu_states", "imu_relative", "imu_priors", "rel_poses",
+                  "abs_poses", "gravity"):
+            getattr(self, f).extend(getattr(other, f))
+        self.stamp = max(self.stamp, other.stamp)
+        return self
+
+    def min_stamp(self) -> Stamp:
+        stamps = [s.stamp for s in self.imu_states]
+        stamps += [f.stamp_i for f in self.imu_relative]
+        stamps += [p.stamp for p in self.imu_priors]
+        return min(stamps) if stamps else self.stamp
+
+
+# ---------------------------------------------------------------------------
+# Arenas (host mirrors of the device factor batches)
+# ---------------------------------------------------------------------------
+
+
+class _Arena:
+    """Fixed-capacity slot store with a free list; fields are numpy arrays."""
+
+    def __init__(self, capacity: int, fields: Dict[str, Tuple]):
+        self.capacity = capacity
+        self.active = np.zeros(capacity, bool)
+        self.fields = {
+            name: np.zeros((capacity,) + shape, np.float32)
+            for name, shape in fields.items()
+        }
+        self.slots = np.zeros((capacity, 0), np.int32)
+        self._free = list(range(capacity - 1, -1, -1))
+
+    def set_slot_width(self, n):
+        self.slots = np.zeros((self.capacity, n), np.int32)
+
+    def alloc(self) -> int:
+        if not self._free:
+            raise RuntimeError(
+                "factor arena overflow: capacity %d" % self.capacity)
+        i = self._free.pop()
+        self.active[i] = True
+        return i
+
+    def release(self, i: int):
+        if self.active[i]:
+            self.active[i] = False
+            self._free.append(i)
+
+    def active_indices(self):
+        return np.nonzero(self.active)[0]
+
+
+# ---------------------------------------------------------------------------
+# Smoother
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SmootherConfig:
+    """Mirrors the reference optimizer yaml (beam_slam_launch/config/lvio.yaml:
+    lag_duration :3, optimization_period :2, pseudo_marginalization :4,
+    solver_options :7-17)."""
+
+    lag_duration: float = 10.0
+    optimization_period: float = 0.07
+    pseudo_marginalization: bool = True
+    # cov 1e-5·I on the window-start prior (fixed_lag_smoother.cpp:263)
+    marginalization_prior_cov: float = 1e-5
+    max_states: int = 64
+    max_extrinsics: int = 4
+    max_imu_factors: int = 128
+    max_prior_factors: int = 16
+    max_rel_pose_factors: int = 256
+    max_abs_pose_factors: int = 32
+    max_gravity_factors: int = 64
+    cauchy_loss_rel_pose: Optional[float] = None
+    solver: gn.SolverOptions = gn.SolverOptions()
+
+
+class FixedLagSmoother:
+    def __init__(self, config: SmootherConfig = SmootherConfig()):
+        self.cfg = config
+        K = config.max_states
+        self.K = K
+        # state mirrors
+        self.q = np.tile(np.array([1, 0, 0, 0], np.float32), (K, 1))
+        self.p = np.zeros((K, 3), np.float32)
+        self.v = np.zeros((K, 3), np.float32)
+        self.bg = np.zeros((K, 3), np.float32)
+        self.ba = np.zeros((K, 3), np.float32)
+        self.state_active = np.zeros(K, bool)
+        self.state_held = np.zeros(K, bool)
+        self.stamp_of_slot = np.full(K, np.nan)
+        self.slot_of_stamp: Dict[Stamp, int] = {}
+        self._state_free = list(range(K - 1, -1, -1))
+
+        E = config.max_extrinsics
+        self.ext_q = np.tile(np.array([1, 0, 0, 0], np.float32), (E, 1))
+        self.ext_p = np.zeros((E, 3), np.float32)
+        self.ext_active = np.zeros(E, bool)
+        self.ext_held = np.zeros(E, bool)
+        self.ext_slot_of_name: Dict[Optional[str], int] = {}
+        # slot 0 = identity baselink "extrinsic", always active+held
+        self.ext_active[0] = True
+        self.ext_held[0] = True
+        self.ext_slot_of_name[None] = 0
+        self._ext_next = 1
+
+        self.arena_imu = _Arena(config.max_imu_factors, dict(
+            dt=(), dq=(4,), dp=(3,), dv=(3,), bg_lin=(3,), ba_lin=(3,),
+            dq_dbg=(3, 3), dp_dbg=(3, 3), dp_dba=(3, 3), dv_dbg=(3, 3),
+            dv_dba=(3, 3), sqrt_info=(15, 15)))
+        self.arena_imu.set_slot_width(2)
+        self.arena_prior = _Arena(config.max_prior_factors, dict(
+            q0=(4,), p0=(3,), v0=(3,), bg0=(3,), ba0=(3,),
+            sqrt_info=(15, 15)))
+        self.arena_prior.set_slot_width(1)
+        self.arena_rel = _Arena(config.max_rel_pose_factors, dict(
+            dq=(4,), dp=(3,), sqrt_info=(6, 6)))
+        self.arena_rel.set_slot_width(3)
+        self.arena_abs = _Arena(config.max_abs_pose_factors, dict(
+            q0=(4,), p0=(3,), sqrt_info=(6, 6)))
+        self.arena_abs.set_slot_width(1)
+        self.arena_grav = _Arena(config.max_gravity_factors, dict(
+            g_body=(3,), sqrt_info=(2, 2)))
+        self.arena_grav.set_slot_width(1)
+
+        self._pending: List[Transaction] = []
+        self._started = False
+        self._on_update: List[Callable] = []
+        self.last_diagnostics: Optional[gn.SolveDiagnostics] = None
+        self.solve_count = 0
+        self.total_solve_time = 0.0
+
+    # -- public API ---------------------------------------------------------
+    def send_transaction(self, txn: Transaction):
+        self._pending.append(txn)
+
+    def register_on_update(self, cb: Callable[["FixedLagSmoother"], None]):
+        self._on_update.append(cb)
+
+    def register_extrinsic(self, name: str, q, p, held: bool = True) -> int:
+        """Add a named sensor extrinsic (frame: baselink→sensor). ``held``
+        False enables online calibration of this extrinsic."""
+        if name in self.ext_slot_of_name:
+            return self.ext_slot_of_name[name]
+        e = self._ext_next
+        if e >= self.cfg.max_extrinsics:
+            raise RuntimeError("extrinsic capacity exceeded")
+        self._ext_next += 1
+        self.ext_q[e] = np.asarray(q, np.float32)
+        self.ext_p[e] = np.asarray(p, np.float32)
+        self.ext_active[e] = True
+        self.ext_held[e] = held
+        self.ext_slot_of_name[name] = e
+        return e
+
+    def current_stamps(self) -> List[Stamp]:
+        return sorted(self.slot_of_stamp.keys())
+
+    def get_state(self, stamp: Stamp):
+        s = self.slot_of_stamp[stamp]
+        return dict(q=self.q[s].copy(), p=self.p[s].copy(),
+                    v=self.v[s].copy(), bg=self.bg[s].copy(),
+                    ba=self.ba[s].copy())
+
+    def reset(self):
+        """System-wide reset protocol (fixed_lag_smoother.cpp:479-546):
+        clear graph, pending transactions and index maps; re-ignition is the
+        caller's job."""
+        self.__init__(self.cfg)
+
+    # -- transaction application -------------------------------------------
+    def _slot_for(self, stamp: Stamp, create=False) -> int:
+        if stamp in self.slot_of_stamp:
+            return self.slot_of_stamp[stamp]
+        if not create:
+            raise KeyError(f"unknown stamp {stamp}")
+        if not self._state_free:
+            raise RuntimeError("state window overflow (max_states)")
+        s = self._state_free.pop()
+        self.slot_of_stamp[stamp] = s
+        self.stamp_of_slot[s] = stamp
+        self.state_active[s] = True
+        self.state_held[s] = False
+        return s
+
+    def _apply(self, txn: Transaction):
+        for st in txn.imu_states:
+            s = self._slot_for(st.stamp, create=True)
+            self.q[s] = st.q
+            self.p[s] = st.p
+            self.v[s] = st.v
+            self.bg[s] = st.bg
+            self.ba[s] = st.ba
+        for f in txn.imu_relative:
+            i = self.arena_imu.alloc()
+            a = self.arena_imu
+            a.slots[i] = (self._slot_for(f.stamp_i), self._slot_for(f.stamp_j))
+            a.fields["dt"][i] = f.dt
+            for name in ("dq", "dp", "dv", "bg_lin", "ba_lin", "dq_dbg",
+                         "dp_dbg", "dp_dba", "dv_dbg", "dv_dba", "sqrt_info"):
+                a.fields[name][i] = getattr(f, name)
+        for f in txn.imu_priors:
+            i = self.arena_prior.alloc()
+            a = self.arena_prior
+            a.slots[i] = (self._slot_for(f.stamp),)
+            a.fields["q0"][i] = f.q
+            a.fields["p0"][i] = f.p
+            a.fields["v0"][i] = f.v
+            a.fields["bg0"][i] = f.bg
+            a.fields["ba0"][i] = f.ba
+            a.fields["sqrt_info"][i] = f.sqrt_info
+        for f in txn.rel_poses:
+            i = self.arena_rel.alloc()
+            a = self.arena_rel
+            e = self.ext_slot_of_name[f.sensor]
+            a.slots[i] = (self._slot_for(f.stamp_i),
+                          self._slot_for(f.stamp_j), e)
+            a.fields["dq"][i] = f.dq
+            a.fields["dp"][i] = f.dp
+            a.fields["sqrt_info"][i] = f.sqrt_info
+        for f in txn.abs_poses:
+            i = self.arena_abs.alloc()
+            a = self.arena_abs
+            a.slots[i] = (self._slot_for(f.stamp),)
+            a.fields["q0"][i] = f.q
+            a.fields["p0"][i] = f.p
+            a.fields["sqrt_info"][i] = f.sqrt_info
+        for f in txn.gravity:
+            i = self.arena_grav.alloc()
+            a = self.arena_grav
+            a.slots[i] = (self._slot_for(f.stamp),)
+            a.fields["g_body"][i] = f.g_body
+            a.fields["sqrt_info"][i] = f.sqrt_info
+
+    # -- marginalization ----------------------------------------------------
+    def _marginalize(self):
+        """Pseudo-marginalization (fixed_lag_smoother.cpp:244-268): drop
+        out-of-window states and every factor touching them; then add a
+        15-dof prior (cov marginalization_prior_cov · I) at the *current
+        values* of the new window-start state (GetWindowStartState :742-797).
+        """
+        if not self.slot_of_stamp:
+            return
+        newest = max(self.slot_of_stamp)
+        expiry = newest - self.cfg.lag_duration
+        stale = [t for t in self.slot_of_stamp if t < expiry]
+        if not stale:
+            return
+        stale_slots = set()
+        for t in stale:
+            s = self.slot_of_stamp.pop(t)
+            stale_slots.add(s)
+            self.state_active[s] = False
+            self.stamp_of_slot[s] = np.nan
+            self._state_free.append(s)
+        for arena in (self.arena_imu, self.arena_prior, self.arena_rel,
+                      self.arena_abs, self.arena_grav):
+            n_blocks = arena.slots.shape[1]
+            imu_blocks = n_blocks if arena is not self.arena_rel else 2
+            for i in arena.active_indices():
+                if any(arena.slots[i, b] in stale_slots
+                       for b in range(imu_blocks)):
+                    arena.release(i)
+        # window-start prior at current values
+        if self.slot_of_stamp:
+            start = min(self.slot_of_stamp)
+            s = self.slot_of_stamp[start]
+            w = 1.0 / np.sqrt(self.cfg.marginalization_prior_cov)
+            i = self.arena_prior.alloc()
+            a = self.arena_prior
+            a.slots[i] = (s,)
+            a.fields["q0"][i] = self.q[s]
+            a.fields["p0"][i] = self.p[s]
+            a.fields["v0"][i] = self.v[s]
+            a.fields["bg0"][i] = self.bg[s]
+            a.fields["ba0"][i] = self.ba[s]
+            a.fields["sqrt_info"][i] = w * np.eye(15, dtype=np.float32)
+
+    # -- device round-trip --------------------------------------------------
+    def _build_device_problem(self):
+        from beam_slam_tpu.core.window import ImuStates, Landmarks, Poses
+        window = WindowState(
+            imu=ImuStates(
+                q=jnp.asarray(self.q), p=jnp.asarray(self.p),
+                v=jnp.asarray(self.v), bg=jnp.asarray(self.bg),
+                ba=jnp.asarray(self.ba),
+                active=jnp.asarray(self.state_active),
+                held=jnp.asarray(self.state_held)),
+            extrinsics=Poses(
+                q=jnp.asarray(self.ext_q), p=jnp.asarray(self.ext_p),
+                active=jnp.asarray(self.ext_active),
+                held=jnp.asarray(self.ext_held)),
+            landmarks=Landmarks.zeros(1),
+        )
+        a = self.arena_imu
+        rel = fc.ImuRelativeFactors(
+            slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
+            dt=jnp.asarray(a.fields["dt"]), dq=jnp.asarray(a.fields["dq"]),
+            dp=jnp.asarray(a.fields["dp"]), dv=jnp.asarray(a.fields["dv"]),
+            bg_lin=jnp.asarray(a.fields["bg_lin"]),
+            ba_lin=jnp.asarray(a.fields["ba_lin"]),
+            dq_dbg=jnp.asarray(a.fields["dq_dbg"]),
+            dp_dbg=jnp.asarray(a.fields["dp_dbg"]),
+            dp_dba=jnp.asarray(a.fields["dp_dba"]),
+            dv_dbg=jnp.asarray(a.fields["dv_dbg"]),
+            dv_dba=jnp.asarray(a.fields["dv_dba"]),
+            sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
+        a = self.arena_prior
+        prior = fc.ImuPriorFactors(
+            slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
+            q0=jnp.asarray(a.fields["q0"]), p0=jnp.asarray(a.fields["p0"]),
+            v0=jnp.asarray(a.fields["v0"]), bg0=jnp.asarray(a.fields["bg0"]),
+            ba0=jnp.asarray(a.fields["ba0"]),
+            sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
+        a = self.arena_rel
+        rel_pose = fc.RelativePoseFactors(
+            slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
+            dq=jnp.asarray(a.fields["dq"]), dp=jnp.asarray(a.fields["dp"]),
+            sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
+        a = self.arena_abs
+        abs_pose = fc.AbsolutePoseFactors(
+            slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
+            q0=jnp.asarray(a.fields["q0"]), p0=jnp.asarray(a.fields["p0"]),
+            sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
+        a = self.arena_grav
+        grav = fc.GravityAlignmentFactors(
+            slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
+            g_body=jnp.asarray(a.fields["g_body"]),
+            sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
+        families = (rel, prior, rel_pose, abs_pose, grav)
+        losses = (None, None, self.cfg.cauchy_loss_rel_pose, None, None)
+        return window, families, losses
+
+    def _pull_back(self, window: WindowState):
+        # np.asarray on a device buffer is a read-only view; copy so the host
+        # mirrors stay mutable.
+        self.q = np.array(window.imu.q)
+        self.p = np.array(window.imu.p)
+        self.v = np.array(window.imu.v)
+        self.bg = np.array(window.imu.bg)
+        self.ba = np.array(window.imu.ba)
+        self.ext_q = np.array(window.extrinsics.q)
+        self.ext_p = np.array(window.extrinsics.p)
+
+    # -- the optimizer tick (optimizationLoop body,
+    #    fixed_lag_smoother.cpp:166-311) ------------------------------------
+    def run_once(self) -> Optional[gn.SolveDiagnostics]:
+        if not self._pending and not self.slot_of_stamp:
+            return None
+        pending, self._pending = self._pending, []
+        pending.sort(key=lambda t: t.stamp)
+        for txn in pending:
+            self._apply(txn)
+        if self.cfg.pseudo_marginalization:
+            self._marginalize()
+        else:
+            self._marginalize()  # exact marginalization: round-2 scope
+        if not self.slot_of_stamp:
+            return None
+        window, families, losses = self._build_device_problem()
+        t0 = time.perf_counter()
+        new_window, diag = gn.solve(window, families, losses, self.cfg.solver)
+        new_window = jax.block_until_ready(new_window)
+        self.total_solve_time += time.perf_counter() - t0
+        self.solve_count += 1
+        self._pull_back(new_window)
+        self.last_diagnostics = diag
+        for cb in self._on_update:
+            cb(self)
+        return diag

@@ -1,0 +1,259 @@
+"""Sliding-window Gauss-Newton solver tests.
+
+Mirrors the reference factor-graph convergence suite
+(bs_models/tests/imu_preintegration_tests.cpp: Simple2StateFG :292,
+multi-window w/ and w/o noise :701/:830, perturbed-initial convergence
+:944-1149) on the batched TPU-native solver.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from beam_slam_tpu.core import factors as fc
+from beam_slam_tpu.core import lie
+from beam_slam_tpu.core.window import WindowState
+from beam_slam_tpu.imu import preintegration as pre
+from beam_slam_tpu.solver import gauss_newton as gn
+from beam_slam_tpu.utils import sim
+
+RATE = 200.0
+NOISE = pre.PreintNoise.isotropic(1e-4, 1e-3, 1e-6, 1e-5)
+
+
+def build_imu_problem(n_kf=6, kf_dt=1.0, K=8, seed=0, perturb=0.15,
+                      vel_perturb=0.1):
+    """GT trajectory + preintegrated IMU chain + prior on state 0, with
+    states 1..n-1 perturbed."""
+    rng = np.random.default_rng(seed)
+    traj = sim.AnalyticTrajectory()
+    kf_times = np.arange(n_kf) * kf_dt
+    gt = traj.sample(jnp.asarray(kf_times, jnp.float32))
+
+    window = WindowState.zeros(K)
+    imu = window.imu
+    q0 = np.asarray(gt.q)
+    p0 = np.asarray(gt.p)
+    v0 = np.asarray(gt.v)
+
+    qs, ps, vs = q0.copy(), p0.copy(), v0.copy()
+    for i in range(1, n_kf):
+        dth = rng.standard_normal(3).astype(np.float32) * perturb
+        qs[i] = np.asarray(lie.quat_mul(jnp.asarray(qs[i]),
+                                        lie.so3_exp_quat(jnp.asarray(dth))))
+        ps[i] += rng.standard_normal(3).astype(np.float32) * perturb
+        vs[i] += rng.standard_normal(3).astype(np.float32) * vel_perturb
+
+    imu = imu.replace(
+        q=imu.q.at[:n_kf].set(jnp.asarray(qs)),
+        p=imu.p.at[:n_kf].set(jnp.asarray(ps)),
+        v=imu.v.at[:n_kf].set(jnp.asarray(vs)),
+        active=imu.active.at[:n_kf].set(True),
+    )
+    window = window.replace(imu=imu)
+
+    # IMU chain factors. Measurements are sampled at interval midpoints so
+    # the synthetic stream is 2nd-order consistent with the midpoint
+    # integrator (no discretization bias in the "ground truth" factors).
+    rel = fc.ImuRelativeFactors.zeros(K)
+    for i in range(n_kf - 1):
+        t0, t1 = kf_times[i], kf_times[i + 1]
+        n = int(round((t1 - t0) * RATE))
+        dt = (t1 - t0) / n
+        t_mid = t0 + (jnp.arange(n, dtype=jnp.float32) + 0.5) * dt
+        s = traj.sample(t_mid)
+        dts = jnp.full((n,), dt, jnp.float32)
+        d = pre.preintegrate(dts, s.w_body, s.a_body,
+                             jnp.zeros(3), jnp.zeros(3), NOISE)
+        rel = rel.replace(
+            slots=rel.slots.at[i].set(jnp.asarray([i, i + 1], jnp.int32)),
+            active=rel.active.at[i].set(True),
+            dt=rel.dt.at[i].set(d.t), dq=rel.dq.at[i].set(d.q),
+            dp=rel.dp.at[i].set(d.p), dv=rel.dv.at[i].set(d.v),
+            dq_dbg=rel.dq_dbg.at[i].set(d.dq_dbg),
+            dp_dbg=rel.dp_dbg.at[i].set(d.dp_dbg),
+            dp_dba=rel.dp_dba.at[i].set(d.dp_dba),
+            dv_dbg=rel.dv_dbg.at[i].set(d.dv_dbg),
+            dv_dba=rel.dv_dba.at[i].set(d.dv_dba),
+            sqrt_info=rel.sqrt_info.at[i].set(d.sqrt_inv_cov),
+        )
+
+    # tight prior on state 0 at GT (first-window prior pattern,
+    # imu_preintegration.cpp:246-320)
+    prior = fc.ImuPriorFactors.zeros(2)
+    prior = prior.replace(
+        slots=prior.slots.at[0, 0].set(0),
+        active=prior.active.at[0].set(True),
+        q0=prior.q0.at[0].set(gt.q[0]), p0=prior.p0.at[0].set(gt.p[0]),
+        v0=prior.v0.at[0].set(gt.v[0]),
+        sqrt_info=prior.sqrt_info.at[0].set(1e3 * jnp.eye(15)),
+    )
+    return window, (rel, prior), gt, n_kf
+
+
+def pose_errors(window, gt, n):
+    q = np.asarray(window.imu.q[:n])
+    p = np.asarray(window.imu.p[:n])
+    dp = np.linalg.norm(p - np.asarray(gt.p[:n]), axis=1)
+    dth = np.asarray(lie.so3_log(lie.quat_mul(
+        lie.quat_conj(jnp.asarray(q)), gt.q[:n])))
+    return dp, np.linalg.norm(dth, axis=1)
+
+
+def test_imu_chain_converges_to_ground_truth():
+    window, fams, gt, n = build_imu_problem()
+    dp0, dth0 = pose_errors(window, gt, n)
+    assert dp0.max() > 0.05  # actually perturbed
+    out, diag = gn.solve(window, fams, (None, None),
+                         gn.SolverOptions(max_iterations=20))
+    dp, dth = pose_errors(out, gt, n)
+    assert float(diag.final_cost) < float(diag.initial_cost) * 1e-3
+    assert dp.max() < 5e-3, dp
+    assert dth.max() < 5e-3, dth
+    dv = np.linalg.norm(np.asarray(out.imu.v[:n]) - np.asarray(gt.v[:n]), axis=1)
+    assert dv.max() < 1e-2
+
+
+def test_held_variables_do_not_move():
+    window, fams, gt, n = build_imu_problem()
+    held = window.imu.held.at[1].set(True)
+    window = window.replace(imu=window.imu.replace(held=held))
+    before = np.asarray(window.imu.p[1]).copy()
+    out, _ = gn.solve(window, fams, (None, None),
+                      gn.SolverOptions(max_iterations=10))
+    np.testing.assert_allclose(np.asarray(out.imu.p[1]), before, atol=0)
+    np.testing.assert_allclose(np.asarray(out.imu.q[1]),
+                               np.asarray(window.imu.q[1]), atol=0)
+
+
+def test_inactive_factor_slots_are_inert():
+    """Garbage in inactive factor slots must not affect the solve."""
+    window, (rel, prior), gt, n = build_imu_problem()
+    rel_garbage = rel.replace(
+        dp=rel.dp.at[n:].set(1e6),
+        sqrt_info=rel.sqrt_info.at[n:].set(1e6 * jnp.eye(15)),
+        slots=rel.slots.at[n:, :].set(1),
+    )
+    out_a, da = gn.solve(window, (rel, prior), (None, None))
+    out_b, db = gn.solve(window, (rel_garbage, prior), (None, None))
+    np.testing.assert_allclose(np.asarray(out_a.imu.p), np.asarray(out_b.imu.p),
+                               atol=1e-6)
+    assert float(da.final_cost) == pytest.approx(float(db.final_cost), rel=1e-5)
+
+
+def test_relative_pose_graph_with_extrinsics():
+    """Pose-graph over relative-pose-with-extrinsics factors (lidar odometry
+    factor pattern, delta_pose_3d_with_extrinsics_cost_functor.h) recovers a
+    perturbed chain."""
+    rng = np.random.default_rng(1)
+    K, n = 8, 5
+    traj = sim.AnalyticTrajectory()
+    gt = traj.sample(jnp.arange(n, dtype=jnp.float32) * 0.5)
+
+    # fixed known extrinsic T_BASELINK_SENSOR
+    q_e = lie.so3_exp_quat(jnp.asarray([0.1, -0.2, 0.3], jnp.float32))
+    p_e = jnp.asarray([0.2, 0.1, -0.3], jnp.float32)
+
+    window = WindowState.zeros(K, E=1)
+    qs = np.asarray(gt.q).copy()
+    ps = np.asarray(gt.p).copy()
+    for i in range(1, n):
+        qs[i] = np.asarray(lie.quat_mul(
+            jnp.asarray(qs[i]),
+            lie.so3_exp_quat(jnp.asarray(
+                rng.standard_normal(3).astype(np.float32) * 0.1))))
+        ps[i] += rng.standard_normal(3).astype(np.float32) * 0.2
+    window = window.replace(
+        imu=window.imu.replace(
+            q=window.imu.q.at[:n].set(jnp.asarray(qs)),
+            p=window.imu.p.at[:n].set(jnp.asarray(ps)),
+            active=window.imu.active.at[:n].set(True),
+            # hold state 0 as the gauge (in place of a prior)
+            held=window.imu.held.at[0].set(True),
+        ),
+        extrinsics=window.extrinsics.replace(
+            q=window.extrinsics.q.at[0].set(q_e),
+            p=window.extrinsics.p.at[0].set(p_e),
+            active=window.extrinsics.active.at[0].set(True),
+            held=window.extrinsics.held.at[0].set(True),
+        ),
+    )
+    # state 0 must sit at GT since it's the gauge
+    window = window.replace(imu=window.imu.replace(
+        q=window.imu.q.at[0].set(gt.q[0]),
+        p=window.imu.p.at[0].set(gt.p[0])))
+
+    rel = fc.RelativePoseFactors.zeros(K)
+    for i in range(n - 1):
+        # measured sensor-frame delta from GT
+        q_ws1 = lie.quat_mul(gt.q[i], q_e)
+        q_ws2 = lie.quat_mul(gt.q[i + 1], q_e)
+        p_ws1 = gt.p[i] + lie.quat_rotate(gt.q[i], p_e)
+        p_ws2 = gt.p[i + 1] + lie.quat_rotate(gt.q[i + 1], p_e)
+        dq = lie.quat_mul(lie.quat_conj(q_ws1), q_ws2)
+        dp = lie.quat_rotate(lie.quat_conj(q_ws1), p_ws2 - p_ws1)
+        rel = rel.replace(
+            slots=rel.slots.at[i].set(jnp.asarray([i, i + 1, 0], jnp.int32)),
+            active=rel.active.at[i].set(True),
+            dq=rel.dq.at[i].set(dq), dp=rel.dp.at[i].set(dp),
+            sqrt_info=rel.sqrt_info.at[i].set(1e2 * jnp.eye(6)),
+        )
+
+    out, diag = gn.solve(window, (rel,), (None,),
+                         gn.SolverOptions(max_iterations=25))
+    dp_err = np.linalg.norm(
+        np.asarray(out.imu.p[:n]) - np.asarray(gt.p[:n]), axis=1)
+    assert dp_err.max() < 1e-3, dp_err
+    dth = np.asarray(lie.so3_log(lie.quat_mul(
+        lie.quat_conj(out.imu.q[:n]), gt.q[:n])))
+    assert np.linalg.norm(dth, axis=1).max() < 1e-3
+
+
+def test_cauchy_loss_rejects_outlier():
+    """A single wildly-wrong relative factor under Cauchy loss must not drag
+    the solution (CauchyLoss usage, pose_3d_stamped_transaction.cpp)."""
+    window, (rel, prior), gt, n = build_imu_problem(perturb=0.02,
+                                                    vel_perturb=0.02)
+    # an absolute-pose outlier factor on state 2, far from GT
+    outlier = fc.AbsolutePoseFactors.zeros(2)
+    outlier = outlier.replace(
+        slots=outlier.slots.at[0, 0].set(2),
+        active=outlier.active.at[0].set(True),
+        q0=outlier.q0.at[0].set(lie.quat_identity()),
+        p0=outlier.p0.at[0].set(jnp.asarray([50.0, -30.0, 10.0])),
+        sqrt_info=outlier.sqrt_info.at[0].set(10.0 * jnp.eye(6)),
+    )
+    out, _ = gn.solve(window, (rel, prior, outlier), (None, None, 1.0),
+                      gn.SolverOptions(max_iterations=25))
+    dp, _ = pose_errors(out, gt, n)
+    assert dp.max() < 0.05, dp  # outlier down-weighted, chain wins
+
+    # same solve WITHOUT robust loss must be dragged far off
+    out2, _ = gn.solve(window, (rel, prior, outlier), (None, None, None),
+                       gn.SolverOptions(max_iterations=25))
+    dp2, _ = pose_errors(out2, gt, n)
+    assert dp2.max() > 0.5
+
+
+def test_gravity_alignment_factor_levels_roll_pitch():
+    K = 4
+    window = WindowState.zeros(K)
+    # state tilted 0.2 rad about x
+    q_tilt = lie.so3_exp_quat(jnp.asarray([0.2, 0.0, 0.0], jnp.float32))
+    window = window.replace(imu=window.imu.replace(
+        q=window.imu.q.at[0].set(q_tilt),
+        active=window.imu.active.at[0].set(True)))
+    ga = fc.GravityAlignmentFactors.zeros(2)
+    # gravity measured along -z in the (true, level) body frame
+    ga = ga.replace(
+        slots=ga.slots.at[0, 0].set(0), active=ga.active.at[0].set(True),
+        g_body=ga.g_body.at[0].set(jnp.asarray([0.0, 0.0, -1.0])),
+        sqrt_info=ga.sqrt_info.at[0].set(1e2 * jnp.eye(2)),
+    )
+    out, _ = gn.solve(window, (ga,), (None,),
+                      gn.SolverOptions(max_iterations=15))
+    g_w = np.asarray(lie.quat_rotate(out.imu.q[0],
+                                     jnp.asarray([0.0, 0.0, -1.0])))
+    # roll/pitch aligned: world gravity direction ≈ [0,0,-1]
+    np.testing.assert_allclose(g_w[:2], 0.0, atol=1e-4)
