@@ -133,19 +133,32 @@ class FactorBatch(struct.PyTreeNode):
             mask = mask & _block_active(window, k, self.slots[:, b])
         return r * mask.astype(r.dtype)[:, None]
 
+    def has_landmark(self) -> bool:
+        """True if this family touches a landmark block. Convention: at most
+        ONE landmark block per family, and it must be the LAST block (all
+        reprojection-style factors satisfy this) — it is Schur-eliminated by
+        the solver, never part of the dense system."""
+        blocks = type(self).BLOCKS
+        assert BLOCK_LANDMARK not in blocks[:-1], \
+            "landmark block must be last"
+        return bool(blocks) and blocks[-1] == BLOCK_LANDMARK
+
     def linearize(self, window: WindowState):
-        """Returns (r [F,R], J [F,R,Dl], col_idx [F,Dl], mask [F]).
+        """Returns (r [F,R], J [F,R,Dd], col_idx [F,Dd], mask [F],
+        lm_slot [F] | None, J_lm [F,R,3] | None).
 
         r and J are whitened and pre-masked (zeroed for inactive factors /
-        blocks), so scatter-adds of masked entries are no-ops.
-        col_idx maps local tangent columns to dense global dof (landmark
-        blocks get -1: handled by Schur elimination, not dense assembly).
+        blocks), so scatter-adds of masked entries are no-ops. col_idx maps
+        the *dense* local tangent columns (IMU/extrinsic blocks) to global
+        dense dof; the landmark block's Jacobian (if any) is returned
+        separately for Schur elimination.
         """
         cls = type(self)
         blocks = cls.BLOCKS
         F = self.capacity
         Dl = self.local_dof()
         dtype = window.imu.q.dtype
+        with_lm = self.has_landmark()
 
         gathered = tuple(
             _gather_block(window, k, self.slots[:, b])
@@ -172,23 +185,29 @@ class FactorBatch(struct.PyTreeNode):
         r = r * m[:, None]
         J = J * m[:, None, None]
 
-        # Global dense column indices.
+        # Split off the landmark block columns (always the trailing 3).
+        if with_lm:
+            J_lm = J[:, :, Dl - LANDMARK_DOF:]
+            J = J[:, :, : Dl - LANDMARK_DOF]
+            lm_slot = self.slots[:, len(blocks) - 1]
+            dense_blocks = blocks[:-1]
+        else:
+            J_lm, lm_slot = None, None
+            dense_blocks = blocks
+
+        # Global dense column indices for the dense blocks.
         cols = []
         K_imu = window.imu.capacity
-        for b, k in enumerate(blocks):
+        for b, k in enumerate(dense_blocks):
             d = block_dof(k)
             if k == BLOCK_IMU:
                 base = self.slots[:, b] * IMU_DOF
-            elif k == BLOCK_EXTRINSIC:
+            else:  # BLOCK_EXTRINSIC
                 base = K_imu * IMU_DOF + self.slots[:, b] * POSE_DOF
-            else:
-                # Landmarks are not part of the dense system (they are Schur-
-                # eliminated); point their columns at the trash dof index
-                # num_dense_dof — the assembler allocates one padding row/col.
-                base = jnp.full((F,), window.num_dense_dof, jnp.int32)
             cols.append(base[:, None] + jnp.arange(d, dtype=jnp.int32)[None, :])
-        col_idx = jnp.concatenate(cols, axis=1)
-        return r, J, col_idx, mask
+        col_idx = jnp.concatenate(cols, axis=1) if cols else \
+            jnp.zeros((F, 0), jnp.int32)
+        return r, J, col_idx, mask, lm_slot, J_lm
 
 
 # ---------------------------------------------------------------------------
@@ -386,6 +405,54 @@ class AbsolutePoseFactors(FactorBatch):
         q0, p0, A = params_one
         res_q = lie.so3_log(lie.quat_mul(lie.quat_conj(q0), q))
         return A @ jnp.concatenate([res_q, p - p0])
+
+
+class ReprojectionFactors(FactorBatch):
+    """2-dof Euclidean-landmark pixel reprojection — the hot visual residual.
+
+    Mirrors bs_constraints/visual/euclidean_reprojection_function.h:28-179
+    (world → baselink → camera → K·hnormalized, whitened) and its
+    online-calib functor variant (extrinsic block optimizable:
+    euclidean_reprojection_functor_online_calib.h). Holding the extrinsic
+    slot (Poses.held) reproduces the fixed-calibration functor.
+
+    Pixels are *undistorted* measurements (the reference undistorts via the
+    camera model before building constraints); intrinsics are the per-factor
+    pinhole [fx, fy, cx, cy].
+    """
+
+    pixel: jnp.ndarray      # [F, 2]
+    intr: jnp.ndarray       # [F, 4] fx, fy, cx, cy
+    sqrt_info: jnp.ndarray  # [F, 2, 2]
+
+    BLOCKS = (BLOCK_IMU, BLOCK_EXTRINSIC, BLOCK_LANDMARK)
+    RESIDUAL_DIM = 2
+
+    @staticmethod
+    def zeros(F: int, dtype=jnp.float32) -> "ReprojectionFactors":
+        return ReprojectionFactors(
+            slots=jnp.zeros((F, 3), jnp.int32),
+            active=jnp.zeros((F,), bool),
+            pixel=jnp.zeros((F, 2), dtype),
+            intr=jnp.tile(jnp.asarray([1.0, 1.0, 0.0, 0.0], dtype), (F, 1)),
+            sqrt_info=jnp.zeros((F, 2, 2), dtype),
+        )
+
+    def params(self):
+        return (self.pixel, self.intr, self.sqrt_info)
+
+    def residual(self, block_states, params_one):
+        (q_wb, p_wb, *_), (q_bc, p_bc), (X_w,) = block_states
+        pixel, intr, A = params_one
+        # camera pose: T_WORLD_CAM = T_WORLD_BASELINK · T_BASELINK_CAM
+        q_wc = lie.quat_mul(q_wb, q_bc)
+        p_wc = p_wb + lie.quat_rotate(q_wb, p_bc)
+        # X in camera frame
+        X_c = lie.quat_rotate(lie.quat_conj(q_wc), X_w - p_wc)
+        z = jnp.maximum(X_c[2], 1e-3)  # clamp behind-camera points
+        u = intr[0] * X_c[0] / z + intr[2]
+        v = intr[1] * X_c[1] / z + intr[3]
+        return A @ (jnp.stack([u, v]) - pixel)
 
 
 class GravityAlignmentFactors(FactorBatch):

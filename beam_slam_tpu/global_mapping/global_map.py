@@ -1,0 +1,184 @@
+"""GlobalMap: submap partitioning, measurement routing, loop closures.
+
+Re-implements ``bs_models::global_mapping::GlobalMap``
+(bs_models/src/lib/global_mapping/global_map.cpp): distance-based submap
+partitioning (GetSubmapId :337-355), AddMeasurement routing of SlamChunk data
+into submaps + new-submap transactions (:244-334), InitiateNewSubmapPose
+chaining relative factors (:357-389), RunLoopClosure on completed submaps
+(candidate search → refinement → loop factors, :391-461),
+UpdateSubmapPoses (:463-473), and whole-map save/load (global_map.h:249-276)
+— the mapping session checkpoint the offline refinement resumes from.
+
+Factor emission targets the same Transaction/smoother machinery as the local
+mapper: submap poses are graph states keyed by submap stamp.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from beam_slam_tpu.core import lie
+from beam_slam_tpu.global_mapping.reloc import (EuclideanCandidateSearch,
+                                                LoamRelocRefinement,
+                                                RelocResult,
+                                                ScanContextCandidateSearch)
+from beam_slam_tpu.global_mapping.submap import Submap
+from beam_slam_tpu.lidar.registration import sqrt_info_from_information
+from beam_slam_tpu.models.lidar_odometry import SlamChunk
+from beam_slam_tpu.solver.smoother import Transaction
+
+
+@dataclasses.dataclass
+class GlobalMapParams:
+    """global_map config (beam_slam_launch config/global_map/*.json)."""
+
+    submap_size_m: float = 10.0
+    loop_closure: bool = True
+    candidate_search: str = "EUCDIST"  # EUCDIST | SCANCONTEXT
+    max_candidates: int = 2
+    loop_covariance_weight: float = 1.0
+    new_submap_rel_cov: float = 1e-3
+
+
+class GlobalMap:
+    def __init__(self, params: GlobalMapParams = GlobalMapParams(),
+                 candidate_search=None, refinement=None):
+        self.params = params
+        self.submaps: List[Submap] = []
+        if candidate_search is None:
+            candidate_search = (
+                ScanContextCandidateSearch()
+                if params.candidate_search == "SCANCONTEXT"
+                else EuclideanCandidateSearch())
+        self.candidate_search = candidate_search
+        self.refinement = refinement or LoamRelocRefinement()
+        self._loop_closures: List[Tuple[int, int, RelocResult]] = []
+
+    # -- submap id (global_map.cpp:337-355) ---------------------------------
+    def get_submap_id(self, p_wb) -> int:
+        """Active submap for a world position: the newest submap if the pose
+        is within submap_size of its origin, else -1 (new submap needed)."""
+        if not self.submaps:
+            return -1
+        if self.submaps[-1].distance_to(p_wb) < self.params.submap_size_m:
+            return len(self.submaps) - 1
+        return -1
+
+    # -- measurement routing (AddMeasurement :244-334) ----------------------
+    def add_measurement(self, chunk: SlamChunk,
+                        txn: Optional[Transaction] = None) -> Optional[int]:
+        """Route one SlamChunk. Returns the index of a newly *completed*
+        submap if this measurement rolled over to a new one (loop closure is
+        then run on the completed submap), else None. Factor-graph deltas are
+        appended to ``txn`` when given."""
+        sid = self.get_submap_id(chunk.p_wb)
+        completed = None
+        if sid < 0:
+            completed = len(self.submaps) - 1 if self.submaps else None
+            new = Submap(chunk.stamp, chunk.q_wb, chunk.p_wb)
+            self.submaps.append(new)
+            if txn is not None:
+                self._initiate_new_submap_pose(txn)
+            sid = len(self.submaps) - 1
+        sm = self.submaps[sid]
+        if chunk.features is not None:
+            sm.add_lidar_keyframe(chunk.stamp, chunk.q_wb, chunk.p_wb,
+                                  chunk.features)
+        if chunk.camera_measurement is not None:
+            cmeas = chunk.camera_measurement
+            sm.add_camera_keyframe(chunk.stamp, chunk.q_wb, chunk.p_wb,
+                                   cmeas.ids, cmeas.pixels_undistorted)
+        for (t, q, p) in chunk.subtrajectory:
+            sm.add_subframe_pose(t, q, p)
+        return completed
+
+    def _initiate_new_submap_pose(self, txn: Transaction):
+        """Chain a relative factor from the previous submap (or a prior for
+        the first — InitiateNewSubmapPose :357-389)."""
+        new = self.submaps[-1]
+        txn.add_imu_state(new.stamp, new.q, new.p, np.zeros(3))
+        if len(self.submaps) == 1:
+            txn.add_abs_pose(new.stamp, new.q, new.p,
+                             1e3 * np.eye(6, dtype=np.float32))
+            return
+        prev = self.submaps[-2]
+        q_pw = lie.quat_conj(jnp.asarray(prev.q))
+        dq = lie.quat_mul(q_pw, jnp.asarray(new.q))
+        dp = lie.quat_rotate(q_pw, jnp.asarray(new.p) - jnp.asarray(prev.p))
+        w = 1.0 / np.sqrt(self.params.new_submap_rel_cov)
+        txn.add_relative_pose(prev.stamp, new.stamp, np.asarray(dq),
+                              np.asarray(dp),
+                              w * np.eye(6, dtype=np.float32))
+
+    # -- loop closure (RunLoopClosure :391-461) -----------------------------
+    def run_loop_closure(self, query_idx: int,
+                         txn: Optional[Transaction] = None) -> int:
+        """Candidate search + refinement on the completed submap; loop
+        factors appended to ``txn``. Returns the number of closures found."""
+        if not self.params.loop_closure or query_idx < 0:
+            return 0
+        cands = self.candidate_search.find(self.submaps, query_idx,
+                                           self.params.max_candidates)
+        n = 0
+        for ci in cands:
+            res = self.refinement.refine(self.submaps[ci],
+                                         self.submaps[query_idx])
+            if not res.successful:
+                continue
+            self._loop_closures.append((ci, query_idx, res))
+            if txn is not None:
+                A = sqrt_info_from_information(
+                    jnp.asarray(res.information),
+                    scale=1.0 / self.params.loop_covariance_weight)
+                txn.add_relative_pose(
+                    self.submaps[ci].stamp, self.submaps[query_idx].stamp,
+                    res.dq, res.dp, np.asarray(A))
+            n += 1
+        return n
+
+    # -- pose updates (UpdateSubmapPoses :463-473) --------------------------
+    def update_submap_poses(self, get_state: Callable[[float], dict]):
+        for sm in self.submaps:
+            try:
+                st = get_state(sm.stamp)
+            except KeyError:
+                continue
+            sm.q = st["q"].astype(np.float32)
+            sm.p = st["p"].astype(np.float32)
+
+    def trajectory_world(self):
+        out = []
+        for sm in self.submaps:
+            out.extend(sm.trajectory_world())
+        return sorted(out, key=lambda x: x[0])
+
+    # -- checkpoint (SaveData/Load, global_map.h:249-276) -------------------
+    def save(self, directory: str):
+        os.makedirs(directory, exist_ok=True)
+        meta = dict(n_submaps=len(self.submaps),
+                    params=dataclasses.asdict(self.params),
+                    loop_closures=[
+                        dict(match=a, query=b, dq=r.dq.tolist(),
+                             dp=r.dp.tolist())
+                        for a, b, r in self._loop_closures])
+        with open(os.path.join(directory, "global_map.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        for i, sm in enumerate(self.submaps):
+            sm.save(os.path.join(directory, f"submap{i:04d}"))
+
+    @staticmethod
+    def load(directory: str) -> "GlobalMap":
+        with open(os.path.join(directory, "global_map.json")) as f:
+            meta = json.load(f)
+        gm = GlobalMap(GlobalMapParams(**meta["params"]))
+        for i in range(meta["n_submaps"]):
+            gm.submaps.append(Submap.load(
+                os.path.join(directory, f"submap{i:04d}")))
+        return gm

@@ -1,0 +1,255 @@
+"""Offline global-map refinement pipeline.
+
+Re-implements ``bs_models::global_mapping::GlobalMapRefinement``
+(bs_models/include/bs_models/global_mapping/global_map_refinement.h:37-144):
+  1. SubmapRefinement (submap_refinement.cpp:24-162) — per-submap
+     re-registration of every keyframe scan against the submap map + priors →
+     optimize → updated keyframe poses. Embarrassingly parallel per submap:
+     here each submap becomes one fixed-shape window problem and the whole
+     batch is solved with the submap-sharded solver
+     (:mod:`beam_slam_tpu.parallel.sharded`) — the multi-chip distribution
+     axis of SURVEY.md §7.8.
+  2. SubmapAlignment (submap_alignment.cpp) — sequentially re-register each
+     submap's aggregate cloud against its predecessor and update
+     T_WORLD_SUBMAP.
+  3. SubmapPoseGraphOptimization — loop-closure PGO over submap poses
+     (reuses the GlobalMapper pose graph).
+
+GlobalMapBatchOptimization (whole-trajectory re-registration with
+scan-context loop closures + statistical outlier rejection,
+global_map_batch_optimization.cpp) is scheduled for the next round.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from beam_slam_tpu.core import factors as fc
+from beam_slam_tpu.core import lie
+from beam_slam_tpu.core.window import WindowState
+from beam_slam_tpu.global_mapping.global_map import GlobalMap
+from beam_slam_tpu.global_mapping.reloc import LoamRelocRefinement
+from beam_slam_tpu.lidar import registration as reg
+from beam_slam_tpu.lidar.cloud import FeatureCloud
+from beam_slam_tpu.parallel import sharded
+from beam_slam_tpu.solver import gauss_newton as gn
+
+
+@dataclasses.dataclass
+class RefinementParams:
+    """global_map_refinement.json equivalents."""
+
+    scan_registration_cfg: reg.LoamRegistrationConfig = \
+        reg.LoamRegistrationConfig(iterations=8, max_corr_dist=1.0)
+    prior_cov: float = 1e-2         # avg-covariance priors on current poses
+    registration_cov: float = 1e-4
+    solver: gn.SolverOptions = gn.SolverOptions(max_iterations=10)
+    max_keyframes_per_submap: int = 16
+
+
+def _per_kf_blocks(submap):
+    """Per-keyframe feature blocks in the submap frame (fixed block sizes →
+    leave-one-out maps are just validity-mask edits)."""
+    es, evs, ss, svs = [], [], [], []
+    for kf in submap.lidar_keyframes:
+        q = jnp.asarray(kf.q)
+        p = jnp.asarray(kf.p)
+        fcw = kf.features.transform(q, p)
+        es.append(np.asarray(jnp.concatenate([fcw.edge_strong,
+                                              fcw.edge_weak])))
+        evs.append(np.concatenate([np.asarray(kf.features.edge_strong_valid),
+                                   np.asarray(kf.features.edge_weak_valid)]))
+        ss.append(np.asarray(jnp.concatenate([fcw.surf_strong,
+                                              fcw.surf_weak])))
+        svs.append(np.concatenate([np.asarray(kf.features.surf_strong_valid),
+                                   np.asarray(kf.features.surf_weak_valid)]))
+    return (np.stack(es), np.stack(evs), np.stack(ss), np.stack(svs))
+
+
+def _submap_problem(submap, params: RefinementParams, K: int):
+    """Build one submap's refinement window: states = keyframe poses (submap
+    frame); factors: registration 'measurement' priors from re-registering
+    each scan against the leave-one-out submap map (a scan matched against a
+    map containing its own points would just snap back to itself), plus weak
+    priors at the current estimates for non-converged scans."""
+    n = min(len(submap.lidar_keyframes), K)
+    window = WindowState.zeros(K, E=1)
+    prior = fc.AbsolutePoseFactors.zeros(K)
+
+    e_blk, ev_blk, s_blk, sv_blk = _per_kf_blocks(submap)
+    w_reg = 1.0 / np.sqrt(params.registration_cov)
+    w_prior = 1.0 / np.sqrt(params.prior_cov)
+
+    q_arr = np.tile(np.array([1, 0, 0, 0], np.float32), (K, 1))
+    p_arr = np.zeros((K, 3), np.float32)
+    active = np.zeros(K, bool)
+    prior_q = q_arr.copy()
+    prior_p = p_arr.copy()
+    prior_info = np.zeros((K, 6, 6), np.float32)
+    prior_active = np.zeros(K, bool)
+
+    for i in range(n):
+        kf = submap.lidar_keyframes[i]
+        ev_loo = ev_blk.copy()
+        ev_loo[i] = False
+        sv_loo = sv_blk.copy()
+        sv_loo[i] = False
+        res = reg.register_loam(
+            kf.features,
+            jnp.asarray(e_blk.reshape(-1, 3)),
+            jnp.asarray(ev_loo.reshape(-1)),
+            jnp.asarray(s_blk.reshape(-1, 3)),
+            jnp.asarray(sv_loo.reshape(-1)),
+            jnp.asarray(kf.q), jnp.asarray(kf.p),
+            params.scan_registration_cfg)
+        q_arr[i] = kf.q
+        p_arr[i] = kf.p
+        active[i] = True
+        if bool(res.converged):
+            # registration result as a strong absolute "measurement" prior
+            prior_q[i] = np.asarray(res.q)
+            prior_p[i] = np.asarray(res.p)
+            prior_info[i] = w_reg * np.eye(6, dtype=np.float32)
+        else:
+            prior_q[i] = kf.q
+            prior_p[i] = kf.p
+            prior_info[i] = w_prior * np.eye(6, dtype=np.float32)
+        prior_active[i] = True
+
+    window = window.replace(imu=window.imu.replace(
+        q=jnp.asarray(q_arr), p=jnp.asarray(p_arr),
+        active=jnp.asarray(active)))
+    prior = prior.replace(
+        slots=jnp.arange(K, dtype=jnp.int32)[:, None],
+        active=jnp.asarray(prior_active),
+        q0=jnp.asarray(prior_q), p0=jnp.asarray(prior_p),
+        sqrt_info=jnp.asarray(prior_info))
+    return window, (prior,)
+
+
+def run_submap_refinement(global_map: GlobalMap,
+                          params: RefinementParams = RefinementParams(),
+                          mesh=None, n_outer: int = 2) -> float:
+    """Refine every submap's keyframe poses; the per-submap window solves are
+    batched and (optionally) sharded over a device mesh. ``n_outer`` outer
+    rounds re-linearize the correspondences (the leave-one-out map is rebuilt
+    from the updated poses). Returns the summed final cost."""
+    total = 0.0
+    for _ in range(n_outer):
+        total = _run_submap_refinement_once(global_map, params, mesh)
+    return total
+
+
+def _run_submap_refinement_once(global_map: GlobalMap,
+                                params: RefinementParams,
+                                mesh=None) -> float:
+    submaps = [s for s in global_map.submaps if s.lidar_keyframes]
+    if not submaps:
+        return 0.0
+    K = params.max_keyframes_per_submap
+    problems = [_submap_problem(s, params, K) for s in submaps]
+    # pad the batch to a multiple of the mesh size (sharding needs the batch
+    # axis divisible by the device count; padded solves are discarded)
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        while len(problems) % n_dev != 0:
+            problems.append(problems[0])
+    windows = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[p[0] for p in problems])
+    families = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[p[1] for p in problems])
+    losses = (None,)
+
+    if mesh is not None:
+        out, diags, total = sharded.distributed_refinement_step(
+            mesh, windows, families, losses, params.solver)
+    else:
+        out, diags = sharded.solve_batched(windows, families, losses,
+                                           params.solver)
+        total = jnp.sum(diags.final_cost)
+
+    # write refined poses back into the submaps
+    for b, sm in enumerate(submaps):
+        n = min(len(sm.lidar_keyframes), K)
+        q_new = np.asarray(out.imu.q[b, :n])
+        p_new = np.asarray(out.imu.p[b, :n])
+        for i in range(n):
+            sm.lidar_keyframes[i].q = q_new[i]
+            sm.lidar_keyframes[i].p = p_new[i]
+    return float(total)
+
+
+def run_submap_alignment(global_map: GlobalMap,
+                         refiner: Optional[LoamRelocRefinement] = None
+                         ) -> int:
+    """Align each submap to its predecessor (SubmapAlignment): re-register
+    aggregate clouds, update T_WORLD_SUBMAP chains. Returns the number of
+    successful alignments."""
+    refiner = refiner or LoamRelocRefinement()
+    n_ok = 0
+    for i in range(1, len(global_map.submaps)):
+        prev = global_map.submaps[i - 1]
+        cur = global_map.submaps[i]
+        res = refiner.refine(prev, cur)
+        if not res.successful:
+            continue
+        # T_WORLD_CUR = T_WORLD_PREV · T_PREV_CUR
+        q_new = lie.quat_mul(jnp.asarray(prev.q), jnp.asarray(res.dq))
+        p_new = jnp.asarray(prev.p) + lie.quat_rotate(jnp.asarray(prev.q),
+                                                      jnp.asarray(res.dp))
+        cur.q = np.asarray(q_new, np.float32)
+        cur.p = np.asarray(p_new, np.float32)
+        n_ok += 1
+    return n_ok
+
+
+def run_pose_graph_optimization(global_map: GlobalMap,
+                                max_candidates: int = 3) -> int:
+    """Loop-closure PGO over submap poses (SubmapPoseGraphOptimization):
+    build a fresh pose graph from the submap chain, search loop closures for
+    every submap, optimize, update submap poses. Returns #closures."""
+    from beam_slam_tpu.models.global_mapper import GlobalMapper
+    gm = GlobalMapper(global_map.params, global_map=global_map)
+    from beam_slam_tpu.solver.smoother import Transaction
+    txn = Transaction(stamp=0.0)
+    # chain factors
+    subs = global_map.submaps
+    for i, sm in enumerate(subs):
+        txn.add_imu_state(sm.stamp, sm.q, sm.p, np.zeros(3))
+    if subs:
+        txn.add_abs_pose(subs[0].stamp, subs[0].q, subs[0].p,
+                         1e3 * np.eye(6, dtype=np.float32))
+    w = 1.0 / np.sqrt(global_map.params.new_submap_rel_cov)
+    for i in range(1, len(subs)):
+        q_pw = lie.quat_conj(jnp.asarray(subs[i - 1].q))
+        dq = lie.quat_mul(q_pw, jnp.asarray(subs[i].q))
+        dp = lie.quat_rotate(q_pw, jnp.asarray(subs[i].p)
+                             - jnp.asarray(subs[i - 1].p))
+        txn.add_relative_pose(subs[i - 1].stamp, subs[i].stamp,
+                              np.asarray(dq), np.asarray(dp),
+                              w * np.eye(6, dtype=np.float32))
+    n_loops = 0
+    for i in range(len(subs)):
+        n_loops += global_map.run_loop_closure(i, txn)
+    gm.smoother.send_transaction(txn)
+    gm.smoother.run_once()
+    global_map.update_submap_poses(gm.smoother.get_state)
+    return n_loops
+
+
+def run_full_refinement(global_map: GlobalMap,
+                        params: RefinementParams = RefinementParams(),
+                        mesh=None) -> dict:
+    """The GlobalMapRefinement orchestrator (global_map_refinement.cpp):
+    submap refinement → submap alignment → pose-graph optimization."""
+    cost = run_submap_refinement(global_map, params, mesh=mesh)
+    n_aligned = run_submap_alignment(global_map)
+    n_loops = run_pose_graph_optimization(global_map)
+    return dict(refinement_cost=cost, submaps_aligned=n_aligned,
+                loop_closures=n_loops)

@@ -1,0 +1,185 @@
+"""Submap storage for the global mapper.
+
+Re-implements ``bs_models::global_mapping::Submap``
+(bs_models/include/bs_models/global_mapping/submap.h:53-420): per-submap
+lidar keyframes (feature clouds + poses stored *relative to the submap
+frame*), camera keyframes/landmark observations, subframe trajectories, the
+submap pose with initial and updated estimates, world-frame exports, and
+disk round-trip (the reference's per-submap directory save format
+(submap.h ~:400-420) becomes one .npz + json metadata here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from beam_slam_tpu.core import lie
+from beam_slam_tpu.lidar.cloud import FeatureCloud
+
+
+def _pose_to_arrays(q, p):
+    return np.asarray(q, np.float32), np.asarray(p, np.float32)
+
+
+@dataclasses.dataclass
+class LidarKeyframe:
+    stamp: float
+    q: np.ndarray          # T_SUBMAP_BASELINK rotation
+    p: np.ndarray
+    features: FeatureCloud  # lidar-frame LOAM features
+
+
+@dataclasses.dataclass
+class CameraKeyframe:
+    stamp: float
+    q: np.ndarray
+    p: np.ndarray
+    ids: np.ndarray
+    pixels: np.ndarray
+
+
+class Submap:
+    def __init__(self, stamp: float, q_world: np.ndarray, p_world: np.ndarray):
+        self.stamp = float(stamp)
+        # initial and updated T_WORLD_SUBMAP (submap.h pose semantics)
+        self.q_initial, self.p_initial = _pose_to_arrays(q_world, p_world)
+        self.q, self.p = self.q_initial.copy(), self.p_initial.copy()
+        self.lidar_keyframes: List[LidarKeyframe] = []
+        self.camera_keyframes: List[CameraKeyframe] = []
+        self.subframe_poses: Dict[float, Tuple[np.ndarray, np.ndarray]] = {}
+        self.descriptor: Optional[np.ndarray] = None  # ScanContext
+
+    # -- ingest -------------------------------------------------------------
+    def world_to_submap(self, q_wb, p_wb):
+        q_sw = lie.quat_conj(jnp.asarray(self.q))
+        q_sb = lie.quat_mul(q_sw, jnp.asarray(q_wb))
+        p_sb = lie.quat_rotate(q_sw, jnp.asarray(p_wb) - jnp.asarray(self.p))
+        return np.asarray(q_sb), np.asarray(p_sb)
+
+    def submap_to_world(self, q_sb, p_sb):
+        q_wb = lie.quat_mul(jnp.asarray(self.q), jnp.asarray(q_sb))
+        p_wb = jnp.asarray(self.p) + lie.quat_rotate(jnp.asarray(self.q),
+                                                     jnp.asarray(p_sb))
+        return np.asarray(q_wb), np.asarray(p_wb)
+
+    def add_lidar_keyframe(self, stamp, q_wb, p_wb, features: FeatureCloud):
+        q_sb, p_sb = self.world_to_submap(q_wb, p_wb)
+        self.lidar_keyframes.append(
+            LidarKeyframe(float(stamp), q_sb, p_sb, features))
+
+    def add_camera_keyframe(self, stamp, q_wb, p_wb, ids, pixels):
+        q_sb, p_sb = self.world_to_submap(q_wb, p_wb)
+        self.camera_keyframes.append(CameraKeyframe(
+            float(stamp), q_sb, p_sb, np.asarray(ids), np.asarray(pixels)))
+
+    def add_subframe_pose(self, stamp, q_wb, p_wb):
+        self.subframe_poses[float(stamp)] = self.world_to_submap(q_wb, p_wb)
+
+    # -- exports ------------------------------------------------------------
+    def distance_to(self, p_wb) -> float:
+        return float(np.linalg.norm(np.asarray(p_wb, np.float64)
+                                    - np.asarray(self.p, np.float64)))
+
+    def aggregate_features_submap_frame(self):
+        """All lidar keyframe features merged in the submap frame: returns
+        (edges [Ne,3], edges_valid, surfs [Ns,3], surfs_valid) — input to
+        loop-closure refinement registration."""
+        es, evs, ss, svs = [], [], [], []
+        for kf in self.lidar_keyframes:
+            q = jnp.asarray(kf.q)
+            p = jnp.asarray(kf.p)
+            fc = kf.features.transform(q, p)
+            es.append(np.asarray(jnp.concatenate([fc.edge_strong,
+                                                  fc.edge_weak])))
+            evs.append(np.concatenate([np.asarray(kf.features.edge_strong_valid),
+                                       np.asarray(kf.features.edge_weak_valid)]))
+            ss.append(np.asarray(jnp.concatenate([fc.surf_strong,
+                                                  fc.surf_weak])))
+            svs.append(np.concatenate([np.asarray(kf.features.surf_strong_valid),
+                                       np.asarray(kf.features.surf_weak_valid)]))
+        if not es:
+            z = np.zeros((0, 3), np.float32)
+            zb = np.zeros((0,), bool)
+            return z, zb, z, zb
+        return (np.concatenate(es), np.concatenate(evs),
+                np.concatenate(ss), np.concatenate(svs))
+
+    def trajectory_world(self):
+        out = []
+        for kf in self.lidar_keyframes:
+            q, p = self.submap_to_world(kf.q, kf.p)
+            out.append((kf.stamp, q, p))
+        for t, (q_sb, p_sb) in self.subframe_poses.items():
+            q, p = self.submap_to_world(q_sb, p_sb)
+            out.append((t, q, p))
+        return sorted(out, key=lambda x: x[0])
+
+    # -- disk round-trip (GlobalMap save/load checkpoint, SURVEY.md §5) -----
+    def save(self, directory: str):
+        os.makedirs(directory, exist_ok=True)
+        meta = dict(stamp=self.stamp,
+                    q=self.q.tolist(), p=self.p.tolist(),
+                    q_initial=self.q_initial.tolist(),
+                    p_initial=self.p_initial.tolist(),
+                    n_lidar=len(self.lidar_keyframes),
+                    n_camera=len(self.camera_keyframes))
+        with open(os.path.join(directory, "submap.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        arrays = {}
+        for i, kf in enumerate(self.lidar_keyframes):
+            arrays[f"lk{i}_stamp"] = np.asarray(kf.stamp)
+            arrays[f"lk{i}_q"] = kf.q
+            arrays[f"lk{i}_p"] = kf.p
+            for fname in kf.features._fields:
+                arrays[f"lk{i}_{fname}"] = np.asarray(
+                    getattr(kf.features, fname))
+        for i, ck in enumerate(self.camera_keyframes):
+            arrays[f"ck{i}_stamp"] = np.asarray(ck.stamp)
+            arrays[f"ck{i}_q"] = ck.q
+            arrays[f"ck{i}_p"] = ck.p
+            arrays[f"ck{i}_ids"] = ck.ids
+            arrays[f"ck{i}_pixels"] = ck.pixels
+        if self.subframe_poses:
+            ts = sorted(self.subframe_poses)
+            arrays["subframe_t"] = np.asarray(ts)
+            arrays["subframe_q"] = np.stack(
+                [self.subframe_poses[t][0] for t in ts])
+            arrays["subframe_p"] = np.stack(
+                [self.subframe_poses[t][1] for t in ts])
+        if self.descriptor is not None:
+            arrays["descriptor"] = self.descriptor
+        np.savez_compressed(os.path.join(directory, "data.npz"), **arrays)
+
+    @staticmethod
+    def load(directory: str) -> "Submap":
+        with open(os.path.join(directory, "submap.json")) as f:
+            meta = json.load(f)
+        sm = Submap(meta["stamp"], np.asarray(meta["q"], np.float32),
+                    np.asarray(meta["p"], np.float32))
+        sm.q_initial = np.asarray(meta["q_initial"], np.float32)
+        sm.p_initial = np.asarray(meta["p_initial"], np.float32)
+        data = np.load(os.path.join(directory, "data.npz"))
+        for i in range(meta["n_lidar"]):
+            fields = {f: jnp.asarray(data[f"lk{i}_{f}"])
+                      for f in FeatureCloud._fields}
+            sm.lidar_keyframes.append(LidarKeyframe(
+                float(data[f"lk{i}_stamp"]), data[f"lk{i}_q"],
+                data[f"lk{i}_p"], FeatureCloud(**fields)))
+        for i in range(meta["n_camera"]):
+            sm.camera_keyframes.append(CameraKeyframe(
+                float(data[f"ck{i}_stamp"]), data[f"ck{i}_q"],
+                data[f"ck{i}_p"], data[f"ck{i}_ids"], data[f"ck{i}_pixels"]))
+        if "subframe_t" in data:
+            for t, q, p in zip(data["subframe_t"], data["subframe_q"],
+                               data["subframe_p"]):
+                sm.subframe_poses[float(t)] = (q, p)
+        if "descriptor" in data:
+            sm.descriptor = data["descriptor"]
+        return sm

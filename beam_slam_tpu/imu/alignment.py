@@ -52,12 +52,15 @@ def _segment_deltas(stamps, imu_t, imu_w, imu_a, bg, noise):
 
 def imu_observability(deltas) -> float:
     """Std-dev of per-segment mean specific force (inertial_alignment.cpp:
-    114-136); < 0.25 means not enough excitation."""
+    114-136); < 0.25 means not enough excitation. Note: the reference divides
+    the mean by N−1 (:124), which inflates the variance by ‖g‖/(N−1) even for
+    perfectly stationary data; we use the proper mean so the gate actually
+    fires on zero-excitation streams."""
     g_tmp = np.stack([np.asarray(d.v) / max(float(d.t), 1e-6)
                       for d in deltas])
-    aver = g_tmp.sum(axis=0) / (len(deltas) - 1 if len(deltas) > 1 else 1)
+    aver = g_tmp.mean(axis=0)
     var = np.sum(np.linalg.norm(g_tmp - aver, axis=1) ** 2)
-    return float(np.sqrt(var / (len(deltas) - 1 if len(deltas) > 1 else 1)))
+    return float(np.sqrt(var / max(len(deltas) - 1, 1)))
 
 
 def estimate_gyro_bias(q_path: np.ndarray, deltas) -> np.ndarray:
@@ -77,11 +80,19 @@ def estimate_gyro_bias(q_path: np.ndarray, deltas) -> np.ndarray:
     return np.linalg.lstsq(A, b, rcond=None)[0]
 
 
-def estimate_gravity_scale_velocities(q_path, p_path, deltas):
+def estimate_gravity_scale_velocities(q_path, p_path, deltas,
+                                      estimate_scale: bool = True):
     """Linear gravity/scale/velocity system (:163-202). Unknowns:
-    [g(3), s(1), v_0..v_{N-1}(3N)]."""
+    [g(3), s(1 — only for up-to-scale visual paths), v_0..v_{N-1}(3N)].
+
+    For metric paths (lidar / frame-init), the scale column must be REMOVED
+    and the known displacement moved to the RHS — solving for scale on a
+    short metric path lets gravity and scale trade off (observed: scale
+    collapsing to ≈ −1 and tilting gravity by several degrees).
+    """
     N = len(q_path)
-    A = np.zeros(((N - 1) * 6, 4 + 3 * N))
+    ns = 1 if estimate_scale else 0
+    A = np.zeros(((N - 1) * 6, 3 + ns + 3 * N))
     b = np.zeros((N - 1) * 6)
     for j in range(1, N):
         i = j - 1
@@ -90,19 +101,25 @@ def estimate_gravity_scale_velocities(q_path, p_path, deltas):
         Ri = np.asarray(lie.quat_to_matrix(jnp.asarray(q_path[i],
                                                        jnp.float32)),
                         np.float64)
+        dp_path = np.asarray(p_path[j] - p_path[i], np.float64)
         A[i * 6: i * 6 + 3, 0:3] = -0.5 * dt * dt * np.eye(3)
-        A[i * 6: i * 6 + 3, 3] = p_path[j] - p_path[i]
-        A[i * 6: i * 6 + 3, 4 + i * 3: 7 + i * 3] = -dt * np.eye(3)
-        b[i * 6: i * 6 + 3] = Ri @ np.asarray(d.p, np.float64)
+        if estimate_scale:
+            A[i * 6: i * 6 + 3, 3] = dp_path
+            b[i * 6: i * 6 + 3] = Ri @ np.asarray(d.p, np.float64)
+        else:
+            b[i * 6: i * 6 + 3] = (Ri @ np.asarray(d.p, np.float64)
+                                   - dp_path)
+        A[i * 6: i * 6 + 3, 3 + ns + i * 3: 6 + ns + i * 3] = \
+            -dt * np.eye(3)
         A[i * 6 + 3: i * 6 + 6, 0:3] = -dt * np.eye(3)
-        A[i * 6 + 3: i * 6 + 6, 4 + i * 3: 7 + i * 3] = -np.eye(3)
-        A[i * 6 + 3: i * 6 + 6, 4 + j * 3: 7 + j * 3] = np.eye(3)
+        A[i * 6 + 3: i * 6 + 6, 3 + ns + i * 3: 6 + ns + i * 3] = -np.eye(3)
+        A[i * 6 + 3: i * 6 + 6, 3 + ns + j * 3: 6 + ns + j * 3] = np.eye(3)
         b[i * 6 + 3: i * 6 + 6] = Ri @ np.asarray(d.v, np.float64)
     x = np.linalg.lstsq(A, b, rcond=None)[0]
     g_dir = x[0:3] / max(np.linalg.norm(x[0:3]), 1e-9)
     gravity = g_dir * GRAVITY_NOMINAL
-    scale = float(x[3])
-    velocities = x[4:].reshape(N, 3)
+    scale = float(x[3]) if estimate_scale else 1.0
+    velocities = x[3 + ns:].reshape(N, 3)
     return gravity, scale, velocities
 
 
@@ -157,8 +174,11 @@ def estimate_parameters(path_stamps: np.ndarray, q_path: np.ndarray,
                         imu_w: np.ndarray, imu_a: np.ndarray,
                         noise: pre.PreintNoise,
                         min_observability: float = 0.25,
-                        refine: bool = False) -> Optional[AlignmentResult]:
-    """Full EstimateParameters flow (inertial_alignment.cpp:4-112)."""
+                        refine: bool = False,
+                        estimate_scale: bool = False
+                        ) -> Optional[AlignmentResult]:
+    """Full EstimateParameters flow (inertial_alignment.cpp:4-112).
+    ``estimate_scale=True`` only for up-to-scale (monocular SfM) paths."""
     bg = np.zeros(3)
     ba = np.zeros(3)
     deltas = _segment_deltas(path_stamps, imu_t, imu_w, imu_a, bg, noise)
@@ -172,7 +192,7 @@ def estimate_parameters(path_stamps: np.ndarray, q_path: np.ndarray,
     bg = estimate_gyro_bias(q_path, deltas)
     deltas = _segment_deltas(path_stamps, imu_t, imu_w, imu_a, bg, noise)
     gravity, scale, velocities = estimate_gravity_scale_velocities(
-        q_path, p_path, deltas)
+        q_path, p_path, deltas, estimate_scale=estimate_scale)
     if refine:
         gravity, scale, velocities = refine_gravity_scale_velocities(
             q_path, p_path, deltas, gravity)

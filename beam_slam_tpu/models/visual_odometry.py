@@ -1,0 +1,268 @@
+"""Visual odometry model: frame localization against the visual map,
+keyframe selection, map extension with triangulated landmarks, reprojection
+factors into the smoother.
+
+Re-implements the reference ``VisualOdometry`` plugin
+(bs_models/src/visual_odometry.cpp — processMeasurements :134,
+LocalizeFrame :217 with validation + fallback, IsKeyframe :401
+(parallax / %tracked / time), ExtendMap :303 + ProcessLandmarkEUC :790,
+reset after 10 localization failures :287-295) and the graph-facing parts of
+``vision::VisualMap`` (lib/vision/visual_map.cpp — landmark/constraint
+bookkeeping lives in the smoother's landmark store here).
+
+The hot kernels (PnP refine, triangulation) are jitted
+(:mod:`beam_slam_tpu.vision.geometry`); this module is host orchestration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from beam_slam_tpu.core import lie
+from beam_slam_tpu.models.visual_feature_tracker import CameraMeasurement
+from beam_slam_tpu.solver.smoother import FixedLagSmoother, Transaction
+from beam_slam_tpu.vision import geometry as geo
+from beam_slam_tpu.vision.camera import PinholeRadtan
+
+
+@dataclasses.dataclass
+class VOParams:
+    """Mirrors bs_parameters/models/visual_odometry_params.h (information
+    weights → covariances 1/w², keyframe gates, validation gates)."""
+
+    keyframe_parallax_px: float = 20.0
+    keyframe_max_dt: float = 1.0
+    keyframe_tracks_drop: float = 0.7   # keyframe if tracked fraction below
+    track_cap: int = 256                # fixed capacity for localization
+    reprojection_info_weight: float = 1.0
+    max_triangulation_reproj_px: float = 5.0
+    min_triangulation_parallax_px: float = 10.0
+    # VOLocalizationValidation gates (vo_localization_validation.h:32-45)
+    max_localization_error_px: float = 5.0
+    max_correction_trans_m: float = 0.5
+    max_correction_rot_deg: float = 30.0
+    max_failures_before_reset: int = 10
+
+
+class VisualOdometry:
+    def __init__(self, smoother: FixedLagSmoother, camera: PinholeRadtan,
+                 params: VOParams = VOParams(), sensor_name: str = "cam0",
+                 trigger_cb: Optional[Callable[[float], None]] = None,
+                 frame_initializer: Optional[Callable] = None):
+        """``frame_initializer(t) -> (q_wb, p_wb)`` provides the pose seed
+        (IMU odometry through FrameInitializer in the reference);
+        ``trigger_cb(t)`` fires the inertial-odometry trigger per keyframe."""
+        self.smoother = smoother
+        self.camera = camera
+        self.params = params
+        self.sensor = sensor_name
+        self.trigger_cb = trigger_cb
+        self.frame_initializer = frame_initializer
+        # track container: id → list of (stamp, uv_undistorted)
+        self.tracks: Dict[int, List[Tuple[float, np.ndarray]]] = {}
+        self.keyframes: List[float] = []
+        self.kf_meas: Dict[float, CameraMeasurement] = {}
+        self.kf_pose: Dict[float, Tuple[np.ndarray, np.ndarray]] = {}
+        self.initialized = False
+        self.failures = 0
+        self.reset_count = 0
+        self.odometry_log: List[Tuple[float, np.ndarray, np.ndarray]] = []
+
+    # -- frames ------------------------------------------------------------
+    def _camera_extrinsic(self):
+        e = self.smoother.ext_slot_of_name[self.sensor]
+        return (jnp.asarray(self.smoother.ext_q[e]),
+                jnp.asarray(self.smoother.ext_p[e]))
+
+    def _camera_pose(self, q_wb, p_wb):
+        q_bc, p_bc = self._camera_extrinsic()
+        q_wc = lie.quat_mul(jnp.asarray(q_wb), q_bc)
+        p_wc = jnp.asarray(p_wb) + lie.quat_rotate(jnp.asarray(q_wb), p_bc)
+        return q_wc, p_wc
+
+    def _baselink_from_camera(self, q_wc, p_wc):
+        q_bc, p_bc = self._camera_extrinsic()
+        q_cb = lie.quat_conj(q_bc)
+        p_cb = -lie.quat_rotate(q_cb, p_bc)
+        q_wb = lie.quat_mul(q_wc, q_cb)
+        p_wb = p_wc + lie.quat_rotate(q_wc, p_cb)
+        return q_wb, p_wb
+
+    def initialize(self, stamp: float):
+        """Unblocked by the ignition graph update
+        (visual_odometry.cpp:653)."""
+        self.initialized = True
+
+    # -- localization ------------------------------------------------------
+    def _localize(self, meas: CameraMeasurement, q_seed_wb, p_seed_wb):
+        """LocalizeFrame (:217): 2d-3d pairs vs the visual map → batched PnP
+        refine → validation; returns (q_wb, p_wb, ok)."""
+        P = self.params
+        cap = P.track_cap
+        X = np.zeros((cap, 3), np.float32)
+        uv = np.zeros((cap, 2), np.float32)
+        valid = np.zeros(cap, bool)
+        n = 0
+        for i, lm_id in enumerate(meas.ids):
+            if n >= cap:
+                break
+            if self.smoother.has_landmark(int(lm_id)):
+                X[n] = self.smoother.get_landmark(int(lm_id))
+                uv[n] = meas.pixels_undistorted[i]
+                valid[n] = True
+                n += 1
+        if n < 10:
+            return np.asarray(q_seed_wb), np.asarray(p_seed_wb), False
+
+        q_wc0, p_wc0 = self._camera_pose(q_seed_wb, p_seed_wb)
+        res = geo.refine_pose(q_wc0, p_wc0, jnp.asarray(X), jnp.asarray(uv),
+                              self.camera.intr4, jnp.asarray(valid))
+        if not bool(res.converged) \
+                or float(res.mean_error_px) > P.max_localization_error_px:
+            return np.asarray(q_seed_wb), np.asarray(p_seed_wb), False
+        # correction-vs-seed validation (VOLocalizationValidation)
+        dp = float(jnp.linalg.norm(res.p - p_wc0))
+        dth = float(jnp.linalg.norm(lie.so3_log(
+            lie.quat_mul(lie.quat_conj(res.q), q_wc0))))
+        if dp > P.max_correction_trans_m \
+                or np.rad2deg(dth) > P.max_correction_rot_deg:
+            return np.asarray(q_seed_wb), np.asarray(p_seed_wb), False
+        q_wb, p_wb = self._baselink_from_camera(res.q, res.p)
+        return np.asarray(q_wb), np.asarray(p_wb), True
+
+    # -- keyframe decision -------------------------------------------------
+    def _is_keyframe(self, meas: CameraMeasurement) -> bool:
+        """IsKeyframe (:401-452): first frame, time, tracked fraction, or
+        median parallax vs the last keyframe."""
+        P = self.params
+        if not self.keyframes:
+            return True
+        t_kf = self.keyframes[-1]
+        if meas.stamp - t_kf >= P.keyframe_max_dt:
+            return True
+        kf = self.kf_meas[t_kf]
+        kf_ids = {int(i): k for k, i in enumerate(kf.ids)}
+        shared = [(k, kf_ids[int(lm)]) for k, lm in enumerate(meas.ids)
+                  if int(lm) in kf_ids]
+        if not shared:
+            return True
+        if len(shared) / max(len(kf.ids), 1) < P.keyframe_tracks_drop:
+            return True
+        disp = [np.linalg.norm(meas.pixels_undistorted[a]
+                               - kf.pixels_undistorted[b]) for a, b in shared]
+        return float(np.median(disp)) > P.keyframe_parallax_px
+
+    # -- map extension -----------------------------------------------------
+    def _extend_map(self, meas: CameraMeasurement, txn: Transaction):
+        """ExtendMap (:303-346): triangulate mature tracks into new
+        landmarks, add reprojection factors for all keyframe observations of
+        new landmarks plus the current observation of existing ones."""
+        P = self.params
+        w = P.reprojection_info_weight
+        sqrt_info = (w * np.eye(2)).astype(np.float32)
+        intr = np.asarray(self.camera.intr4, np.float32)
+
+        for i, lm_id in enumerate(meas.ids):
+            lm_id = int(lm_id)
+            uv = meas.pixels_undistorted[i]
+            if self.smoother.has_landmark(lm_id):
+                txn.add_reprojection(meas.stamp, lm_id, uv, intr, sqrt_info,
+                                     sensor=self.sensor)
+                continue
+            # candidate new landmark: need an old-enough keyframe observation
+            # still inside the optimization window (constraints must only
+            # reference live states — expired keyframes were marginalized)
+            track = self.tracks.get(lm_id, [])
+            kf_obs = [(t, px) for t, px in track
+                      if t in self.kf_pose
+                      and t in self.smoother.slot_of_stamp]
+            if not kf_obs:
+                continue
+            t0, uv0 = kf_obs[0]
+            if np.linalg.norm(uv - uv0) < P.min_triangulation_parallax_px:
+                continue
+            q0_wb, p0_wb = self.kf_pose[t0]
+            q0_wc, p0_wc = self._camera_pose(q0_wb, p0_wb)
+            q1_wc, p1_wc = self._camera_pose(*self._current_pose)
+            ray0 = self.camera.back_project(jnp.asarray(uv0))
+            ray1 = self.camera.back_project(jnp.asarray(uv))
+            X, ok = geo.triangulate_dlt(q0_wc, p0_wc, q1_wc, p1_wc,
+                                        ray0, ray1)
+            if not bool(ok):
+                continue
+            gate = geo.triangulation_reprojection_gate(
+                q1_wc, p1_wc, self.camera.intr4, X, jnp.asarray(uv),
+                P.max_triangulation_reproj_px)
+            gate0 = geo.triangulation_reprojection_gate(
+                q0_wc, p0_wc, self.camera.intr4, X, jnp.asarray(uv0),
+                P.max_triangulation_reproj_px)
+            if not (bool(gate) and bool(gate0)):
+                continue
+            txn.add_landmark(lm_id, np.asarray(X))
+            # observations from every keyframe that saw it + current frame
+            for t_obs, uv_obs in kf_obs:
+                txn.add_reprojection(t_obs, lm_id, uv_obs, intr, sqrt_info,
+                                     sensor=self.sensor)
+            txn.add_reprojection(meas.stamp, lm_id, uv, intr, sqrt_info,
+                                 sensor=self.sensor)
+
+    # -- main entry --------------------------------------------------------
+    def process_measurements(self, meas: CameraMeasurement) -> bool:
+        """processMeasurements (:134-169). Returns True if a keyframe was
+        created (and a transaction sent)."""
+        P = self.params
+        for i, lm_id in enumerate(meas.ids):
+            self.tracks.setdefault(int(lm_id), []).append(
+                (meas.stamp, meas.pixels_undistorted[i].copy()))
+        # prune dead tracks occasionally
+        if len(self.tracks) > 4096:
+            live = set(int(i) for i in meas.ids)
+            self.tracks = {k: v for k, v in self.tracks.items()
+                           if k in live or self.smoother.has_landmark(k)}
+        if not self.initialized:
+            return False
+
+        if self.frame_initializer is not None:
+            q_seed, p_seed = self.frame_initializer(meas.stamp)
+        elif self.odometry_log:
+            _, q_seed, p_seed = self.odometry_log[-1]
+        else:
+            q_seed, p_seed = np.array([1, 0, 0, 0], np.float32), np.zeros(3)
+
+        q_wb, p_wb, ok = self._localize(meas, q_seed, p_seed)
+        if not ok:
+            self.failures += 1
+            if self.failures >= P.max_failures_before_reset:
+                self.reset_count += 1
+                self.failures = 0
+        else:
+            self.failures = 0
+        self._current_pose = (q_wb, p_wb)
+        self.odometry_log.append((meas.stamp, q_wb, p_wb))
+
+        if not self._is_keyframe(meas):
+            return False
+
+        # keyframe: state + factors + triggers
+        txn = Transaction(stamp=meas.stamp)
+        if meas.stamp not in self.smoother.slot_of_stamp:
+            txn.add_imu_state(meas.stamp, q_wb, p_wb, np.zeros(3))
+        self.kf_pose[meas.stamp] = (q_wb, p_wb)
+        self._extend_map(meas, txn)
+        self.keyframes.append(meas.stamp)
+        self.kf_meas[meas.stamp] = meas
+        self.smoother.send_transaction(txn)
+        if self.trigger_cb is not None:
+            self.trigger_cb(meas.stamp)
+        # bound host-side keyframe history to the smoother lag
+        horizon = meas.stamp - self.smoother.cfg.lag_duration
+        while self.keyframes and self.keyframes[0] < horizon:
+            t0 = self.keyframes.pop(0)
+            self.kf_meas.pop(t0, None)
+            self.kf_pose.pop(t0, None)
+        return True

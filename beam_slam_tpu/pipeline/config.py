@@ -1,0 +1,140 @@
+"""Pipeline configuration system.
+
+Mirrors the reference's three-tier config (SURVEY.md §5 'Config/flag
+system'): YAML pipeline files (beam_slam_launch/config/{lio,vio,lvio,
+global_mapper}.yaml) loaded into per-model parameter structs
+(bs_parameters/models/*), with the same key names wherever the concept
+carries over, so reference configs translate 1:1. Information *weights* w are
+converted to sqrt-information directly (the reference stores cov = 1/w²,
+visual_odometry_params.h:36-47).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import numpy as np
+import yaml
+
+from beam_slam_tpu.lidar import features as lfeat
+from beam_slam_tpu.lidar import registration as lreg
+from beam_slam_tpu.lidar.scan_registration import ScanRegistrationParams
+from beam_slam_tpu.models.inertial_odometry import ImuParams
+from beam_slam_tpu.models.slam_initialization import InitParams
+from beam_slam_tpu.models.visual_odometry import VOParams
+from beam_slam_tpu.solver import gauss_newton as gn
+from beam_slam_tpu.solver.smoother import SmootherConfig
+from beam_slam_tpu.vision.camera import PinholeRadtan
+
+
+@dataclasses.dataclass
+class CalibrationConfig:
+    """Sensor calibration (beam_slam_launch/config/calibration_params.yaml +
+    calibrations/*/extrinsics.json): static extrinsics baselink→sensor and
+    camera intrinsics."""
+
+    camera: Optional[PinholeRadtan] = None
+    q_baselink_cam: Optional[np.ndarray] = None
+    p_baselink_cam: Optional[np.ndarray] = None
+    q_baselink_lidar: Optional[np.ndarray] = None
+    p_baselink_lidar: Optional[np.ndarray] = None
+    imu_hz: float = 200.0
+    camera_hz: float = 20.0
+    lidar_hz: float = 10.0
+
+
+@dataclasses.dataclass
+class LocalMapperConfig:
+    """One pipeline (lio / vio / lvio) configuration."""
+
+    mode: str = "LVIO"  # LIO | VIO | LVIO
+    # optimizer block (lvio.yaml:2-17)
+    optimization_period: float = 0.07
+    lag_duration: float = 10.0
+    pseudo_marginalization: bool = True
+    max_iterations: int = 10
+    # capacities (TPU static shapes; not in the reference, which is dynamic)
+    max_states: int = 64
+    max_landmarks: int = 256
+    max_reprojection_factors: int = 4096
+    # models
+    imu: ImuParams = dataclasses.field(default_factory=ImuParams)
+    vo: VOParams = dataclasses.field(default_factory=VOParams)
+    scan_registration: ScanRegistrationParams = dataclasses.field(
+        default_factory=ScanRegistrationParams)
+    loam: lfeat.LoamConfig = lfeat.LoamConfig()
+    loam_registration: lreg.LoamRegistrationConfig = \
+        lreg.LoamRegistrationConfig()
+    registration_type: str = "SCANTOMAP"  # SCANTOMAP | MULTISCAN
+    map_size: int = 10
+    init: InitParams = dataclasses.field(default_factory=InitParams)
+    calibration: CalibrationConfig = dataclasses.field(
+        default_factory=CalibrationConfig)
+
+    def smoother_config(self) -> SmootherConfig:
+        return SmootherConfig(
+            lag_duration=self.lag_duration,
+            optimization_period=self.optimization_period,
+            pseudo_marginalization=self.pseudo_marginalization,
+            max_states=self.max_states,
+            max_landmarks=self.max_landmarks,
+            max_reprojection_factors=self.max_reprojection_factors,
+            cauchy_loss_rel_pose=1.0,
+            solver=gn.SolverOptions(max_iterations=self.max_iterations),
+        )
+
+    @staticmethod
+    def from_yaml(path: str) -> "LocalMapperConfig":
+        """Load a reference-style pipeline YAML (same key names as
+        lvio.yaml where applicable; unknown keys ignored with a warning)."""
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        return LocalMapperConfig.from_dict(raw)
+
+    @staticmethod
+    def from_dict(raw: Dict[str, Any]) -> "LocalMapperConfig":
+        cfg = LocalMapperConfig()
+        simple = {
+            "mode": "mode",
+            "optimization_period": "optimization_period",
+            "lag_duration": "lag_duration",
+            "pseudo_marginalization": "pseudo_marginalization",
+            "max_states": "max_states",
+            "max_landmarks": "max_landmarks",
+            "registration_type": "registration_type",
+            "map_size": "map_size",
+        }
+        for key, attr in simple.items():
+            if key in raw:
+                setattr(cfg, attr, raw[key])
+        so = raw.get("solver_options", {})
+        if "max_num_iterations" in so:
+            cfg.max_iterations = int(so["max_num_iterations"])
+        init = raw.get("slam_initialization", {})
+        if init:
+            cfg.init = InitParams(
+                mode=init.get("init_mode", cfg.init.mode),
+                min_trajectory_length_m=init.get(
+                    "min_trajectory_length_m",
+                    cfg.init.min_trajectory_length_m))
+        imu = raw.get("imu", {})
+        if imu:
+            cfg.imu = ImuParams(
+                cov_gyro_noise=imu.get("cov_gyro_noise", 1e-4),
+                cov_accel_noise=imu.get("cov_accel_noise", 1e-3),
+                cov_gyro_bias=imu.get("cov_gyro_bias", 1e-6),
+                cov_accel_bias=imu.get("cov_accel_bias", 1e-5),
+                info_weight=imu.get("inertial_info_weight", 1.0))
+        vo = raw.get("visual_odometry", {})
+        if vo:
+            kwargs = {}
+            if "keyframe_parallax" in vo:
+                kwargs["keyframe_parallax_px"] = vo["keyframe_parallax"]
+            if "keyframe_max_duration" in vo:
+                kwargs["keyframe_max_dt"] = vo["keyframe_max_duration"]
+            if "reprojection_information_weight" in vo:
+                kwargs["reprojection_info_weight"] = \
+                    vo["reprojection_information_weight"]
+            cfg.vo = VOParams(**kwargs)
+        return cfg

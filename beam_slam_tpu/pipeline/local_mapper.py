@@ -1,0 +1,203 @@
+"""Local mapper: host orchestration of the full LIO/VIO/LVIO pipeline.
+
+Replaces the reference's ROS wiring (SURVEY.md §2.7): the fixed-lag-smoother
+node + plugin sensor models + trigger topics become one host object with
+direct callbacks. Sensors feed ``on_imu`` / ``on_scan`` /
+``on_camera_measurement``; before ignition everything buffers into
+SLAMInitialization; after ignition the models emit transactions and the
+smoother ticks at ``optimization_period`` (or per keyframe). SlamChunks for
+the global mapper are surfaced through ``chunk_cb`` (the SlamChunkMsg topic).
+
+The reset protocol (fixed_lag_smoother.cpp:479-546) is ``reset()``: clears
+the graph and all model state and re-enters the initialization phase.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from beam_slam_tpu.lidar.cloud import RingGrid
+from beam_slam_tpu.lidar.scan_registration import (MultiScanLoamRegistration,
+                                                   ScanToMapLoamRegistration)
+from beam_slam_tpu.models.inertial_odometry import InertialOdometry
+from beam_slam_tpu.models.lidar_odometry import (LidarOdometry,
+                                                 LidarOdometryParams,
+                                                 SlamChunk)
+from beam_slam_tpu.models.slam_initialization import (LidarPathInit,
+                                                      SLAMInitialization)
+from beam_slam_tpu.models.visual_feature_tracker import (CameraMeasurement,
+                                                         VisualFeatureTracker)
+from beam_slam_tpu.models.visual_odometry import VisualOdometry
+from beam_slam_tpu.pipeline.config import LocalMapperConfig
+from beam_slam_tpu.solver.smoother import FixedLagSmoother
+
+
+class LocalMapper:
+    def __init__(self, config: LocalMapperConfig = LocalMapperConfig(),
+                 chunk_cb: Optional[Callable[[SlamChunk], None]] = None):
+        self.cfg = config
+        cal = config.calibration
+        self.smoother = FixedLagSmoother(config.smoother_config())
+
+        use_lidar = config.mode in ("LIO", "LVIO")
+        use_vision = config.mode in ("VIO", "LVIO")
+
+        self.io = InertialOdometry(self.smoother, config.imu)
+
+        self.lo = None
+        if use_lidar:
+            q_bl = cal.q_baselink_lidar
+            p_bl = cal.p_baselink_lidar
+            if q_bl is not None:
+                self.smoother.register_extrinsic("lidar", q_bl, p_bl)
+            else:
+                self.smoother.register_extrinsic(
+                    "lidar", np.array([1, 0, 0, 0], np.float32), np.zeros(3))
+            if config.registration_type == "MULTISCAN":
+                reg = MultiScanLoamRegistration(
+                    config.scan_registration, config.loam_registration,
+                    lag_duration=config.lag_duration, q_bl=q_bl, p_bl=p_bl)
+            else:
+                reg = ScanToMapLoamRegistration(
+                    config.scan_registration, config.loam_registration,
+                    map_size=config.map_size, q_bl=q_bl, p_bl=p_bl)
+            self.lo = LidarOdometry(
+                self.smoother, reg, LidarOdometryParams(),
+                loam_cfg=config.loam,
+                trigger_cb=self._trigger,
+                frame_initializer=self._frame_init,
+                chunk_cb=chunk_cb)
+
+        self.vo = None
+        self.tracker = None
+        if use_vision:
+            assert cal.camera is not None, "VIO/LVIO needs camera calibration"
+            self.smoother.register_extrinsic(
+                "cam0",
+                cal.q_baselink_cam if cal.q_baselink_cam is not None
+                else np.array([1, 0, 0, 0], np.float32),
+                cal.p_baselink_cam if cal.p_baselink_cam is not None
+                else np.zeros(3))
+            self.tracker = VisualFeatureTracker(cal.camera)
+            self.vo = VisualOdometry(
+                self.smoother, cal.camera, config.vo, sensor_name="cam0",
+                trigger_cb=self._trigger,
+                frame_initializer=self._frame_init)
+
+        init_params = config.init
+        if config.mode == "VIO" and init_params.mode == "LIDAR":
+            init_params.mode = "FRAMEINIT"
+        self.init = SLAMInitialization(
+            self.smoother, init_params, config.imu,
+            lidar_path=LidarPathInit(config.loam,
+                                     q_bl=cal.q_baselink_lidar,
+                                     p_bl=cal.p_baselink_lidar),
+            on_initialized=self._on_initialized)
+        self.chunk_cb = chunk_cb
+        self._pending_tick = False
+
+    # -- wiring --------------------------------------------------------------
+    @property
+    def initialized(self) -> bool:
+        return self.init.initialized
+
+    def _frame_init(self, t: float):
+        q, p, _ = self.io.model.get_pose(t)
+        return q, p
+
+    def _trigger(self, t: float):
+        self.io.process_trigger(t)
+        self._pending_tick = True
+
+    def _on_initialized(self, result: dict):
+        """Ignition notify fan-out (SURVEY.md §3.4): unblock every model at
+        the final init state."""
+        self.io.initialize(result["stamp"], result["q"], result["p"],
+                           result["v"], result["bg"], result["ba"])
+        # replay buffered IMU into the odometry model
+        for t, w, a in zip(self.init.imu_t, self.init.imu_w,
+                           self.init.imu_a):
+            if t >= result["stamp"]:
+                self.io.model.add_imu(t, w, a)
+        if self.lo is not None:
+            self.lo.initialize(result["stamp"])
+            self.lo.last_stamp = result["stamp"]
+        if self.vo is not None:
+            self.vo.initialize(result["stamp"])
+
+    # -- sensor callbacks ----------------------------------------------------
+    def on_imu(self, t: float, w, a):
+        if not self.initialized:
+            self.init.add_imu(t, w, a)
+        else:
+            self.io.process_imu(t, w, a)
+
+    def on_scan(self, t: float, grid: RingGrid) -> bool:
+        if not self.initialized:
+            return self.init.add_scan(t, grid)
+        if self.lo is None:
+            return False
+        ok = self.lo.process_scan(t, grid)
+        if ok:
+            self._pending_tick = True
+        return ok
+
+    def on_image(self, t: float, image) -> bool:
+        if self.tracker is None:
+            return False
+        meas = self.tracker.process_image(t, image)
+        return self.on_camera_measurement(meas)
+
+    def on_camera_measurement(self, meas: CameraMeasurement) -> bool:
+        if self.vo is None:
+            return False
+        if not self.initialized:
+            if self.cfg.init.mode == "FRAMEINIT":
+                # ignition from external poses happens via on_pose
+                return False
+            return False
+        kf = self.vo.process_measurements(meas)
+        if kf:
+            self._pending_tick = True
+        return kf
+
+    def on_pose(self, t: float, q_wb, p_wb) -> bool:
+        """FRAMEINIT-mode initialization input."""
+        if not self.initialized:
+            return self.init.add_pose(t, q_wb, p_wb)
+        return False
+
+    # -- the optimizer tick --------------------------------------------------
+    def tick(self):
+        """One optimizer cycle (fixed_lag_smoother optimizationLoop body).
+        Call at optimization_period, or whenever a keyframe landed."""
+        if not self._pending_tick:
+            return None
+        self._pending_tick = False
+        return self.smoother.run_once()
+
+    def current_pose(self, t: Optional[float] = None):
+        """Latest (or time-interpolated) baselink pose — the
+        Odometry3DPublisher surface."""
+        if t is not None and self.initialized:
+            q, p, _ = self.io.model.get_pose(t)
+            return q, p
+        stamps = self.smoother.current_stamps()
+        if not stamps:
+            return None
+        st = self.smoother.get_state(stamps[-1])
+        return st["q"], st["p"]
+
+    def trajectory(self) -> List[Tuple[float, np.ndarray, np.ndarray]]:
+        """Full in-window trajectory (Path3DPublisher surface)."""
+        out = []
+        for t in self.smoother.current_stamps():
+            st = self.smoother.get_state(t)
+            out.append((t, st["q"], st["p"]))
+        return out
+
+    def reset(self):
+        """System-wide reset protocol."""
+        self.__init__(self.cfg, self.chunk_cb)

@@ -1,4 +1,5 @@
-"""Batched Levenberg–Marquardt over the fixed-shape window state.
+"""Batched Levenberg–Marquardt over the fixed-shape window state, with
+Schur-complement elimination of landmarks.
 
 This is the TPU-native replacement for the Ceres solve inside
 ``fuse_graphs::HashGraph::optimize`` (driven by the reference fixed-lag
@@ -9,20 +10,20 @@ Design (SURVEY.md §7.2):
   * Every factor family linearizes in one ``vmap`` (residual + Jacobian via
     forward-mode autodiff), producing whitened blocks.
   * The normal equations are assembled densely over the window's tangent dof
-    (K·15 IMU dof + E·6 extrinsic dof — a 10 s window is O(10²-10³) dof, far
-    below MXU saturation) with scatter-adds; landmark blocks are handled by
-    Schur elimination (see :mod:`beam_slam_tpu.solver.schur`).
-  * The damped system is solved by dense Cholesky after Jacobi equilibration —
-    the float32 conditioning strategy (column scaling makes the reduced system
-    ~unit-diagonal so f32 Cholesky is accurate; validated against f64 oracles
-    in tests).
+    (K·15 IMU dof + E·6 extrinsic dof) with scatter-adds. Landmark blocks
+    (visual BA) are **Schur-eliminated on chip**: per-landmark 3×3 diagonal
+    blocks H_ll, the pose-landmark coupling W, and the reduced camera system
+    H_red = H_pp − W·H_ll⁻¹·Wᵀ — one MXU matmul — then dense Cholesky on the
+    reduced system and closed-form landmark back-substitution.
+  * Jacobi equilibration makes the reduced system ~unit-diagonal so float32
+    Cholesky is accurate (validated against f64 oracles in tests).
   * The LM loop is a ``lax.scan`` of a fixed number of iterations with
     in-graph accept/reject ("delayed gratification" damping) and an inert
-    ``done`` latch for early convergence — compiler-friendly control flow, no
-    recompiles, no host sync inside the loop.
+    ``done`` latch — compiler-friendly control flow, no recompiles, no host
+    sync inside the loop.
 
 ``holdVariable`` (fuse) and inactive slots are handled by masking rows/columns
-of H and pinning those dof to zero update.
+of H (and W / H_ll for landmarks) and pinning those dof to zero update.
 """
 
 from __future__ import annotations
@@ -33,7 +34,7 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from beam_slam_tpu.core.window import WindowState
+from beam_slam_tpu.core.window import LANDMARK_DOF, WindowState
 
 _DIAG_EPS = 1e-12
 
@@ -84,19 +85,23 @@ def assemble_normal_equations(
     families: Sequence,
     losses: Tuple[Optional[float], ...],
 ):
-    """Linearize every factor family and scatter-add into dense (H, g).
+    """Linearize every factor family and scatter-add the normal equations.
 
-    Returns H [D+1, D+1], g [D+1] (last row/col is the landmark trash dof)
-    and the total robustified cost 0.5·Σρ.
+    Returns (H [D+1,D+1], g [D+1], H_ll [L,3,3], g_l [L,3], W [D+1,L·3],
+    cost). The last dense row/col is a padding ("trash") dof.
     """
     D = window.num_dense_dof
+    L = window.landmarks.capacity
     dtype = window.imu.q.dtype
     H = jnp.zeros((D + 1, D + 1), dtype)
     g = jnp.zeros((D + 1,), dtype)
+    H_ll = jnp.zeros((L, 3, 3), dtype)
+    g_l = jnp.zeros((L, 3), dtype)
+    W = jnp.zeros((D + 1, L * LANDMARK_DOF), dtype)
     cost = jnp.zeros((), dtype)
 
     for fam, loss in zip(families, losses):
-        r, J, col, _ = fam.linearize(window)
+        r, J, col, _, lm_slot, J_lm = fam.linearize(window)
         s = jnp.sum(r * r, axis=-1)
         w, rho = robust_weight(s, loss)
         cost = cost + 0.5 * jnp.sum(rho)
@@ -105,11 +110,20 @@ def assemble_normal_equations(
         J = J * sw[:, None, None]
         # g -= Jᵀ r  (scatter over local columns)
         g = g.at[col].add(-jnp.einsum("fri,fr->fi", J, r))
-        # H += Jᵀ J  (scatter [Dl, Dl] blocks)
+        # H += Jᵀ J  (scatter [Dd, Dd] blocks)
         H = H.at[col[:, :, None], col[:, None, :]].add(
             jnp.einsum("fri,frj->fij", J, J)
         )
-    return H, g, cost
+        if lm_slot is not None:
+            J_lm = J_lm * sw[:, None, None]
+            H_ll = H_ll.at[lm_slot].add(jnp.einsum("fri,frj->fij", J_lm, J_lm))
+            g_l = g_l.at[lm_slot].add(-jnp.einsum("fri,fr->fi", J_lm, r))
+            lm_cols = (lm_slot[:, None] * LANDMARK_DOF
+                       + jnp.arange(LANDMARK_DOF, dtype=jnp.int32)[None, :])
+            W = W.at[col[:, :, None], lm_cols[:, None, :]].add(
+                jnp.einsum("fri,frj->fij", J, J_lm)
+            )
+    return H, g, H_ll, g_l, W, cost
 
 
 def total_cost(window: WindowState, families: Sequence,
@@ -124,29 +138,60 @@ def total_cost(window: WindowState, families: Sequence,
     return cost
 
 
-def _solve_damped(H, g, free, lam):
-    """Solve (H + λ·diag(H))δ = g on the free dof with Jacobi equilibration.
+def _solve_damped(H, g, free, lam, H_ll, g_l, W, lm_free):
+    """Schur-reduced damped solve.
 
-    Equilibration: with s = 1/√diag(H), solve (S H S + λI) y = S g, δ = S y —
-    the f32-conditioning workhorse (SURVEY.md §7 "Double precision" risk).
+    Dense part: (S·H_red·S + λI) y = S·g_red with Jacobi scaling S — the
+    float32-conditioning workhorse (SURVEY.md §7 'Double precision' risk).
+    Landmarks: per-slot 3×3 inverses of (H_ll + λ·diag(H_ll)), masked by
+    ``lm_free``; back-substituted after the reduced solve.
     """
     dtype = H.dtype
+    Dp = H.shape[0]
+    L = H_ll.shape[0]
     freef = free.astype(dtype)
-    # Mask held/inactive dof: identity rows so they stay put.
+    lmf = lm_free.astype(dtype)
+
+    # mask held/inactive dense dof and landmark slots
     Hm = H * (freef[:, None] * freef[None, :])
     Hm = Hm + jnp.diag(1.0 - freef)
     gm = g * freef
+    W = W * freef[:, None] * jnp.repeat(lmf, LANDMARK_DOF)[None, :]
+    eye3 = jnp.eye(3, dtype=dtype)
+    # damping λ·diag(H_ll) + a trace-relative floor: a landmark seen from a
+    # single view has a rank-2 3×3 block whose f32 inverse explodes and makes
+    # the Schur complement indefinite; the floor bounds ‖H_ll⁻¹‖ by ~1e5/tr.
+    diag_ll = jax.vmap(jnp.diag)(H_ll)
+    tr = jnp.trace(H_ll, axis1=1, axis2=2)
+    Hll_d = (H_ll + jax.vmap(jnp.diag)(lam * diag_ll + 1e-8)
+             + (1e-5 * tr)[:, None, None] * eye3[None])
+    Hll_d = jnp.where(lmf[:, None, None] > 0, Hll_d, eye3[None])
+    g_l = g_l * lmf[:, None]
+    Hll_inv = jnp.linalg.inv(Hll_d)
 
-    d = jnp.diagonal(Hm)
+    # reduced camera system: H_red = H - W·Hll⁻¹·Wᵀ (MXU work)
+    Wr = W.reshape(Dp, L, 3)
+    Y = jnp.einsum("dlk,lkm->dlm", Wr, Hll_inv)
+    H_red = Hm - jnp.einsum("dlm,elm->de", Y, Wr)
+    g_red = gm - jnp.einsum("dlm,lm->d", Y, g_l)
+
+    d = jnp.diagonal(H_red)
     s = jax.lax.rsqrt(jnp.maximum(d, _DIAG_EPS))
-    Hs = Hm * (s[:, None] * s[None, :])
-    Hs = Hs + lam * jnp.eye(Hs.shape[0], dtype=dtype)
-    gs = gm * s
-    L = jnp.linalg.cholesky(Hs)
-    y = jax.scipy.linalg.cho_solve((L, True), gs)
+    Hs = H_red * (s[:, None] * s[None, :])
+    Hs = Hs + lam * jnp.eye(Dp, dtype=dtype)
+    gs = g_red * s
+    Lc = jnp.linalg.cholesky(Hs)
+    y = jax.scipy.linalg.cho_solve((Lc, True), gs)
     delta = y * s * freef
-    ok = jnp.all(jnp.isfinite(delta))
-    return jnp.where(ok, delta, jnp.zeros_like(delta)), ok
+
+    # landmark back-substitution: δ_l = Hll⁻¹ (g_l − Wᵀ δ_p)
+    rhs_l = g_l - jnp.einsum("dlk,d->lk", Wr, delta)
+    delta_l = jnp.einsum("lkm,lk->lm", Hll_inv, rhs_l) * lmf[:, None]
+
+    ok = jnp.all(jnp.isfinite(delta)) & jnp.all(jnp.isfinite(delta_l))
+    delta = jnp.where(ok, delta, jnp.zeros_like(delta))
+    delta_l = jnp.where(ok, delta_l, jnp.zeros_like(delta_l))
+    return delta, delta_l, ok
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -158,17 +203,20 @@ def solve(
 ) -> Tuple[WindowState, SolveDiagnostics]:
     """Run LM on the window. ``families``/``losses`` are parallel tuples;
     family *types* and capacities are static, their array contents traced."""
-    dtype = window.imu.q.dtype
     free_full = window.dense_free_mask()
     free = jnp.concatenate([free_full, jnp.zeros((1,), bool)])  # trash dof
+    lm_free = window.landmarks.active & ~window.landmarks.held
 
     init_cost = total_cost(window, families, losses)
 
     def step(carry, _):
         win, lam, cost, done, iters = carry
-        H, g, _ = assemble_normal_equations(win, families, losses)
-        delta, ok = _solve_damped(H, g, free, lam)
+        H, g, H_ll, g_l, W, _ = assemble_normal_equations(win, families,
+                                                          losses)
+        delta, delta_l, ok = _solve_damped(H, g, free, lam, H_ll, g_l, W,
+                                           lm_free)
         trial = win.retract_dense(delta[:-1])
+        trial = trial.replace(landmarks=trial.landmarks.retract(delta_l))
         new_cost = total_cost(trial, families, losses)
         accept = ok & (new_cost < cost) & ~done
         win = jax.tree_util.tree_map(
@@ -185,8 +233,10 @@ def solve(
         iters = iters + accept.astype(jnp.int32)
         return (win, lam, cost, done, iters), None
 
+    dtype = window.imu.q.dtype
     lam0 = jnp.asarray(options.initial_lambda, dtype)
-    carry0 = (window, lam0, init_cost, jnp.zeros((), bool), jnp.zeros((), jnp.int32))
+    carry0 = (window, lam0, init_cost, jnp.zeros((), bool),
+              jnp.zeros((), jnp.int32))
     (window, lam, cost, done, iters), _ = jax.lax.scan(
         step, carry0, None, length=options.max_iterations
     )

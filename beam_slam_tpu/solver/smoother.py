@@ -111,6 +111,25 @@ class GravitySpec:
 
 
 @dataclasses.dataclass
+class LandmarkSpec:
+    """New Euclidean visual landmark (VisualMap::AddLandmark)."""
+    lm_id: int
+    position: np.ndarray  # [3] world
+
+
+@dataclasses.dataclass
+class ReprojectionSpec:
+    """Visual constraint (VisualMap::AddVisualConstraint, visual_map.h:100-108
+    → EuclideanReprojection factor)."""
+    stamp: Stamp
+    lm_id: int
+    pixel: np.ndarray      # [2] undistorted
+    intr: np.ndarray       # [4] fx, fy, cx, cy
+    sqrt_info: np.ndarray  # [2,2]
+    sensor: Optional[str] = None  # camera extrinsic name
+
+
+@dataclasses.dataclass
 class Transaction:
     """Atomic graph delta (fuse_core::Transaction). ``stamp`` orders the
     queue; sensor models fill the add-lists via the helpers."""
@@ -122,6 +141,9 @@ class Transaction:
     rel_poses: List[RelPoseSpec] = dataclasses.field(default_factory=list)
     abs_poses: List[AbsPoseSpec] = dataclasses.field(default_factory=list)
     gravity: List[GravitySpec] = dataclasses.field(default_factory=list)
+    landmarks: List[LandmarkSpec] = dataclasses.field(default_factory=list)
+    reprojections: List[ReprojectionSpec] = dataclasses.field(
+        default_factory=list)
 
     def add_imu_state(self, stamp, q, p, v, bg=None, ba=None):
         self.imu_states.append(ImuStateInit(
@@ -167,10 +189,22 @@ class Transaction:
             float(stamp), np.asarray(g_body), np.asarray(sqrt_info)))
         return self
 
+    def add_landmark(self, lm_id, position):
+        self.landmarks.append(LandmarkSpec(int(lm_id),
+                                           np.asarray(position, np.float64)))
+        return self
+
+    def add_reprojection(self, stamp, lm_id, pixel, intr, sqrt_info,
+                         sensor=None):
+        self.reprojections.append(ReprojectionSpec(
+            float(stamp), int(lm_id), np.asarray(pixel), np.asarray(intr),
+            np.asarray(sqrt_info), sensor))
+        return self
+
     def merge(self, other: "Transaction"):
         """fuse_core::Transaction::merge."""
         for f in ("imu_states", "imu_relative", "imu_priors", "rel_poses",
-                  "abs_poses", "gravity"):
+                  "abs_poses", "gravity", "landmarks", "reprojections"):
             getattr(self, f).extend(getattr(other, f))
         self.stamp = max(self.stamp, other.stamp)
         return self
@@ -238,12 +272,15 @@ class SmootherConfig:
     marginalization_prior_cov: float = 1e-5
     max_states: int = 64
     max_extrinsics: int = 4
+    max_landmarks: int = 256
     max_imu_factors: int = 128
     max_prior_factors: int = 16
     max_rel_pose_factors: int = 256
     max_abs_pose_factors: int = 32
     max_gravity_factors: int = 64
+    max_reprojection_factors: int = 2048
     cauchy_loss_rel_pose: Optional[float] = None
+    cauchy_loss_reprojection: Optional[float] = None
     solver: gn.SolverOptions = gn.SolverOptions()
 
 
@@ -294,6 +331,18 @@ class FixedLagSmoother:
         self.arena_grav = _Arena(config.max_gravity_factors, dict(
             g_body=(3,), sqrt_info=(2, 2)))
         self.arena_grav.set_slot_width(1)
+        self.arena_reproj = _Arena(config.max_reprojection_factors, dict(
+            pixel=(2,), intr=(4,), sqrt_info=(2, 2)))
+        self.arena_reproj.set_slot_width(3)  # (imu, extrinsic, landmark)
+
+        # landmark store (bs_variables Point3DLandmark; id-addressed)
+        Lm = config.max_landmarks
+        self.lm_pt = np.zeros((Lm, 3), np.float32)
+        self.lm_active = np.zeros(Lm, bool)
+        self.lm_held = np.zeros(Lm, bool)
+        self.lm_id_of_slot = np.full(Lm, -1, np.int64)
+        self.slot_of_lm_id: Dict[int, int] = {}
+        self._lm_free = list(range(Lm - 1, -1, -1))
 
         self._pending: List[Transaction] = []
         self._started = False
@@ -403,6 +452,38 @@ class FixedLagSmoother:
             a.slots[i] = (self._slot_for(f.stamp),)
             a.fields["g_body"][i] = f.g_body
             a.fields["sqrt_info"][i] = f.sqrt_info
+        for lm in txn.landmarks:
+            s = self._lm_slot_for(lm.lm_id, create=True)
+            self.lm_pt[s] = lm.position
+        for f in txn.reprojections:
+            i = self.arena_reproj.alloc()
+            a = self.arena_reproj
+            a.slots[i] = (self._slot_for(f.stamp),
+                          self.ext_slot_of_name[f.sensor],
+                          self._lm_slot_for(f.lm_id))
+            a.fields["pixel"][i] = f.pixel
+            a.fields["intr"][i] = f.intr
+            a.fields["sqrt_info"][i] = f.sqrt_info
+
+    def _lm_slot_for(self, lm_id: int, create=False) -> int:
+        if lm_id in self.slot_of_lm_id:
+            return self.slot_of_lm_id[lm_id]
+        if not create:
+            raise KeyError(f"unknown landmark id {lm_id}")
+        if not self._lm_free:
+            raise RuntimeError("landmark store overflow (max_landmarks)")
+        s = self._lm_free.pop()
+        self.slot_of_lm_id[lm_id] = s
+        self.lm_id_of_slot[s] = lm_id
+        self.lm_active[s] = True
+        self.lm_held[s] = False
+        return s
+
+    def get_landmark(self, lm_id: int) -> np.ndarray:
+        return self.lm_pt[self.slot_of_lm_id[lm_id]].copy()
+
+    def has_landmark(self, lm_id: int) -> bool:
+        return lm_id in self.slot_of_lm_id
 
     # -- marginalization ----------------------------------------------------
     def _marginalize(self):
@@ -425,14 +506,25 @@ class FixedLagSmoother:
             self.state_active[s] = False
             self.stamp_of_slot[s] = np.nan
             self._state_free.append(s)
-        for arena in (self.arena_imu, self.arena_prior, self.arena_rel,
-                      self.arena_abs, self.arena_grav):
-            n_blocks = arena.slots.shape[1]
-            imu_blocks = n_blocks if arena is not self.arena_rel else 2
+        for arena, imu_blocks in ((self.arena_imu, 2), (self.arena_prior, 1),
+                                  (self.arena_rel, 2), (self.arena_abs, 1),
+                                  (self.arena_grav, 1), (self.arena_reproj, 1)):
             for i in arena.active_indices():
                 if any(arena.slots[i, b] in stale_slots
                        for b in range(imu_blocks)):
                     arena.release(i)
+        # release landmarks that lost all of their observations (the
+        # reference's visual constraints vanish with their variables)
+        referenced = set(
+            int(s) for s in
+            self.arena_reproj.slots[self.arena_reproj.active_indices(), 2])
+        for s in list(np.nonzero(self.lm_active)[0]):
+            if int(s) not in referenced:
+                lm_id = int(self.lm_id_of_slot[s])
+                self.lm_active[s] = False
+                self.lm_id_of_slot[s] = -1
+                self.slot_of_lm_id.pop(lm_id, None)
+                self._lm_free.append(int(s))
         # window-start prior at current values
         if self.slot_of_stamp:
             start = min(self.slot_of_stamp)
@@ -462,7 +554,10 @@ class FixedLagSmoother:
                 q=jnp.asarray(self.ext_q), p=jnp.asarray(self.ext_p),
                 active=jnp.asarray(self.ext_active),
                 held=jnp.asarray(self.ext_held)),
-            landmarks=Landmarks.zeros(1),
+            landmarks=Landmarks(
+                pt=jnp.asarray(self.lm_pt),
+                active=jnp.asarray(self.lm_active),
+                held=jnp.asarray(self.lm_held)),
         )
         a = self.arena_imu
         rel = fc.ImuRelativeFactors(
@@ -499,8 +594,15 @@ class FixedLagSmoother:
             slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
             g_body=jnp.asarray(a.fields["g_body"]),
             sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
-        families = (rel, prior, rel_pose, abs_pose, grav)
-        losses = (None, None, self.cfg.cauchy_loss_rel_pose, None, None)
+        a = self.arena_reproj
+        reproj = fc.ReprojectionFactors(
+            slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
+            pixel=jnp.asarray(a.fields["pixel"]),
+            intr=jnp.asarray(a.fields["intr"]),
+            sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
+        families = (rel, prior, rel_pose, abs_pose, grav, reproj)
+        losses = (None, None, self.cfg.cauchy_loss_rel_pose, None, None,
+                  self.cfg.cauchy_loss_reprojection)
         return window, families, losses
 
     def _pull_back(self, window: WindowState):
@@ -513,6 +615,7 @@ class FixedLagSmoother:
         self.ba = np.array(window.imu.ba)
         self.ext_q = np.array(window.extrinsics.q)
         self.ext_p = np.array(window.extrinsics.p)
+        self.lm_pt = np.array(window.landmarks.pt)
 
     # -- the optimizer tick (optimizationLoop body,
     #    fixed_lag_smoother.cpp:166-311) ------------------------------------

@@ -21,6 +21,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite is dominated by XLA compiles of the
+# (static-shape) solver/registration kernels; repeat runs hit the disk cache.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,159 @@
+"""Global mapper tests: submap partitioning/round-trip, ScanContext search,
+loop-closure refinement, and the global pose graph — the mini end-to-end
+global-mapping pattern of the reference suite
+(global_map_refinement_tests.cpp:104-321: simulated multi-submap trajectory
+from a real scan, assert pose recovery)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from beam_slam_tpu.core import lie
+from beam_slam_tpu.global_mapping import scancontext as sc
+from beam_slam_tpu.global_mapping.global_map import GlobalMap, GlobalMapParams
+from beam_slam_tpu.global_mapping.reloc import (EuclideanCandidateSearch,
+                                                LoamRelocRefinement,
+                                                ScanContextCandidateSearch)
+from beam_slam_tpu.global_mapping.submap import Submap
+from beam_slam_tpu.lidar import features as feat
+from beam_slam_tpu.lidar.cloud import synthetic_structured_scene
+from beam_slam_tpu.models.global_mapper import GlobalMapper
+from beam_slam_tpu.models.lidar_odometry import SlamChunk
+
+SCENE = synthetic_structured_scene(n_rings=16, width=504)
+
+
+def features_from(q_wl, p_wl):
+    xyz = lie.quat_rotate(lie.quat_conj(jnp.asarray(q_wl))[None, None],
+                          SCENE.xyz - jnp.asarray(p_wl))
+    grid = SCENE._replace(
+        xyz=jnp.where(SCENE.valid[..., None], xyz, 0.0))
+    return feat.extract_features(grid)
+
+
+def chunk_at(stamp, q, p, with_features=True):
+    return SlamChunk(stamp=stamp, q_wb=np.asarray(q, np.float32),
+                     p_wb=np.asarray(p, np.float32),
+                     features=features_from(q, p) if with_features else None)
+
+
+def test_submap_partitioning_by_distance():
+    gm = GlobalMap(GlobalMapParams(submap_size_m=5.0, loop_closure=False))
+    for i, x in enumerate([0.0, 2.0, 4.0, 6.0, 8.0, 12.0]):
+        gm.add_measurement(chunk_at(float(i), [1, 0, 0, 0],
+                                    [x, 0, 0], with_features=False))
+    # 0,2,4 in submap 0 (origin 0); 6,8 in submap 1 (origin 6); 12 in submap 2
+    assert len(gm.submaps) == 3
+    assert len(gm.submaps[0].lidar_keyframes) == 0  # no features attached
+
+
+def test_submap_save_load_roundtrip(tmp_path):
+    sm = Submap(1.5, np.array([1, 0, 0, 0], np.float32),
+                np.array([1.0, 2.0, 0.5], np.float32))
+    fc = features_from([1, 0, 0, 0], [0, 0, 0])
+    sm.add_lidar_keyframe(1.6, np.array([1, 0, 0, 0]), np.array([1.2, 2, 0.5]),
+                          fc)
+    sm.add_subframe_pose(1.55, np.array([1, 0, 0, 0]),
+                         np.array([1.1, 2, 0.5]))
+    d = str(tmp_path / "submap0")
+    sm.save(d)
+    sm2 = Submap.load(d)
+    assert sm2.stamp == sm.stamp
+    np.testing.assert_allclose(sm2.p, sm.p)
+    assert len(sm2.lidar_keyframes) == 1
+    np.testing.assert_allclose(
+        np.asarray(sm2.lidar_keyframes[0].features.edge_strong),
+        np.asarray(fc.edge_strong), atol=0)
+    assert len(sm2.subframe_poses) == 1
+
+
+# ScanContext tuned to the synthetic room scale (the production default of
+# 80 m is for outdoor scans; an 8 m room would collapse into 2 rings)
+SC_CFG = sc.ScanContextConfig(n_rings=12, n_sectors=60, max_range=14.0)
+
+
+def _sc_points(fc):
+    pts = jnp.concatenate([fc.edge_strong, fc.edge_weak, fc.surf_strong,
+                           fc.surf_weak])
+    valid = jnp.concatenate([fc.edge_strong_valid, fc.edge_weak_valid,
+                             fc.surf_strong_valid, fc.surf_weak_valid])
+    return pts, valid
+
+
+def test_scancontext_distance_properties(rng):
+    pts, valid = _sc_points(features_from([1, 0, 0, 0], [0, 0, 0]))
+    d1 = sc.make_descriptor(pts, valid, SC_CFG)
+    assert int((np.asarray(d1) != 0).sum()) > 50  # well-populated
+    # same scan → distance ~0
+    dist, shift = sc.distance(d1, d1)
+    assert float(dist) < 1e-5 and int(shift) == 0
+    # yaw-rotated scan → small distance at the compensating shift
+    q_rot = lie.so3_exp_quat(jnp.asarray([0.0, 0.0, np.pi / 6], jnp.float32))
+    pts_rot = lie.quat_rotate(q_rot[None], pts)
+    d2 = sc.make_descriptor(pts_rot, valid, SC_CFG)
+    dist_r, shift_r = sc.distance(d1, d2)
+    assert float(dist_r) < 0.2, float(dist_r)
+    assert int(shift_r) != 0
+    # a different viewpoint across the room → clearly larger distance
+    pts3, valid3 = _sc_points(features_from([1, 0, 0, 0], [5.0, 4.0, 0.0]))
+    d3 = sc.make_descriptor(pts3, valid3, SC_CFG)
+    dist_far, _ = sc.distance(d1, d3)
+    assert float(dist_far) > float(dist_r) + 0.05, \
+        (float(dist_far), float(dist_r))
+
+
+def test_loop_closure_corrects_drift():
+    """Simulated drift: the robot returns to the start but the odometry says
+    otherwise; loop closure must find the match and the pose graph must
+    correct the chain (RunLoopClosure → loop factor → optimize)."""
+    params = GlobalMapParams(submap_size_m=3.0, loop_closure=True,
+                             candidate_search="EUCDIST", max_candidates=1)
+    gm_model = GlobalMapper(params)
+    gm_model.map.candidate_search = EuclideanCandidateSearch(
+        max_distance_m=6.0, skip_recent=1)
+
+    # true poses: out along x and back (loop), with injected drift on return.
+    # The *scan* is what the sensor truly saw (rendered at the true pose);
+    # the odometry pose carries the drift — that mismatch is the loop signal.
+    xs = [0.0, 2.0, 4.0, 6.0, 6.0, 4.0, 2.0, 0.0]
+    ys = [0.0, 0.0, 0.0, 0.0, 2.0, 2.0, 2.0, 2.0]
+    drift = np.linspace(0, 0.4, len(xs))
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        p_true = np.array([x, y, 0.0], np.float32)
+        p_odom = p_true + np.array([0.0, drift[i], 0.0], np.float32)
+        chunk = chunk_at(float(i), [1, 0, 0, 0], p_true)
+        chunk = chunk._replace(p_wb=p_odom)
+        gm_model.process_slam_chunk(chunk)
+    # force final submap completion + loop closure on the last submap
+    n_sub = len(gm_model.map.submaps)
+    assert n_sub >= 3
+    from beam_slam_tpu.solver.smoother import Transaction
+    txn = Transaction(stamp=100.0)
+    found = gm_model.map.run_loop_closure(n_sub - 1, txn)
+    if found:
+        gm_model.smoother.send_transaction(txn)
+        gm_model.optimize()
+    total = gm_model.n_loop_closures + found
+    assert total >= 1, "no loop closures found"
+    # the final submap pose must be pulled back toward truth
+    last = gm_model.map.submaps[-1]
+    # its odometric y had ~0.3-0.4 m drift; after PGO it must shrink
+    y_err = abs(last.p[1] - ys[-2 if last.stamp == 6.0 else -1])
+    assert y_err < 0.25, (last.p, y_err)
+
+
+def test_global_map_save_load(tmp_path):
+    gm = GlobalMap(GlobalMapParams(submap_size_m=4.0, loop_closure=False))
+    for i, x in enumerate([0.0, 5.0, 10.0]):
+        gm.add_measurement(chunk_at(float(i), [1, 0, 0, 0], [x, 0, 0]))
+    d = str(tmp_path / "gmap")
+    gm.save(d)
+    gm2 = GlobalMap.load(d)
+    assert len(gm2.submaps) == len(gm.submaps)
+    np.testing.assert_allclose(gm2.submaps[1].p, gm.submaps[1].p)
+    assert len(gm2.submaps[0].lidar_keyframes) == \
+        len(gm.submaps[0].lidar_keyframes)
