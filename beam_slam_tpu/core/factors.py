@@ -407,6 +407,101 @@ class AbsolutePoseFactors(FactorBatch):
         return A @ jnp.concatenate([res_q, p - p0])
 
 
+MARGINAL_MAX_BLOCKS = 4
+
+
+class MarginalPriorFactors(FactorBatch):
+    """Dense linear marginal factor over up to MARGINAL_MAX_BLOCKS IMU
+    states — the product of *exact* marginalization
+    (fuse_constraints::marginalizeVariables, used by the reference smoother
+    when pseudo_marginalization is off, fixed_lag_smoother.cpp:269-272).
+
+    Residual: r(x) = A · d(x) + b, where d stacks the 15-dof tangents of each
+    block at its stored linearization point:
+        d_i = [log(q̄ᵢ⁻¹ qᵢ), pᵢ − p̄ᵢ, vᵢ − v̄ᵢ, bgᵢ − b̄gᵢ, baᵢ − b̄aᵢ].
+    Unused trailing blocks are inert (their A columns are zero and their slot
+    points at block 0).
+    """
+
+    q_lin: jnp.ndarray   # [F, M, 4]
+    p_lin: jnp.ndarray   # [F, M, 3]
+    v_lin: jnp.ndarray   # [F, M, 3]
+    bg_lin: jnp.ndarray  # [F, M, 3]
+    ba_lin: jnp.ndarray  # [F, M, 3]
+    A: jnp.ndarray       # [F, M*15, M*15]
+    b: jnp.ndarray       # [F, M*15]
+
+    BLOCKS = (BLOCK_IMU,) * MARGINAL_MAX_BLOCKS
+    RESIDUAL_DIM = MARGINAL_MAX_BLOCKS * 15
+
+    @staticmethod
+    def zeros(F: int, dtype=jnp.float32) -> "MarginalPriorFactors":
+        M = MARGINAL_MAX_BLOCKS
+        return MarginalPriorFactors(
+            slots=jnp.zeros((F, M), jnp.int32),
+            active=jnp.zeros((F,), bool),
+            q_lin=jnp.tile(lie.quat_identity((), dtype), (F, M, 1)),
+            p_lin=jnp.zeros((F, M, 3), dtype),
+            v_lin=jnp.zeros((F, M, 3), dtype),
+            bg_lin=jnp.zeros((F, M, 3), dtype),
+            ba_lin=jnp.zeros((F, M, 3), dtype),
+            A=jnp.zeros((F, M * 15, M * 15), dtype),
+            b=jnp.zeros((F, M * 15), dtype),
+        )
+
+    def params(self):
+        return (self.q_lin, self.p_lin, self.v_lin, self.bg_lin, self.ba_lin,
+                self.A, self.b)
+
+    def residual(self, block_states, params_one):
+        q_lin, p_lin, v_lin, bg_lin, ba_lin, A, b = params_one
+        ds = []
+        for m, (q, p, v, bg, ba) in enumerate(block_states):
+            dq = lie.so3_log(lie.quat_mul(lie.quat_conj(q_lin[m]), q))
+            ds.append(jnp.concatenate([dq, p - p_lin[m], v - v_lin[m],
+                                       bg - bg_lin[m], ba - ba_lin[m]]))
+        return A @ jnp.concatenate(ds) + b
+
+
+class ConstantVelocityFactors(FactorBatch):
+    """9-dof constant-velocity kinematic factor between consecutive states —
+    the TPU counterpart of the Unicycle3D motion model's kinematic constraint
+    (bs_constraints/motion/unicycle_3d_state_cost_functor.h:127 /
+    unicycle_3d_predict.h). The reference predicts with separate angular-
+    velocity and linear-acceleration states; our 15-dof IMU states carry
+    neither, so the factor penalizes orientation change, constant-velocity
+    position prediction, and velocity change:
+
+        r = A · [ log(q_i⁻¹ q_j),  p_j − (p_i + v_i·dt),  v_j − v_i ]
+    """
+
+    dt: jnp.ndarray         # [F]
+    sqrt_info: jnp.ndarray  # [F, 9, 9]
+
+    BLOCKS = (BLOCK_IMU, BLOCK_IMU)
+    RESIDUAL_DIM = 9
+
+    @staticmethod
+    def zeros(F: int, dtype=jnp.float32) -> "ConstantVelocityFactors":
+        return ConstantVelocityFactors(
+            slots=jnp.zeros((F, 2), jnp.int32),
+            active=jnp.zeros((F,), bool),
+            dt=jnp.zeros((F,), dtype),
+            sqrt_info=jnp.zeros((F, 9, 9), dtype),
+        )
+
+    def params(self):
+        return (self.dt, self.sqrt_info)
+
+    def residual(self, block_states, params_one):
+        (q_i, p_i, v_i, *_), (q_j, p_j, v_j, *_) = block_states
+        dt, A = params_one
+        r_q = lie.so3_log(lie.quat_mul(lie.quat_conj(q_i), q_j))
+        r_p = p_j - (p_i + dt * v_i)
+        r_v = v_j - v_i
+        return A @ jnp.concatenate([r_q, r_p, r_v])
+
+
 class ReprojectionFactors(FactorBatch):
     """2-dof Euclidean-landmark pixel reprojection — the hot visual residual.
 

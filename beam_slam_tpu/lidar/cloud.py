@@ -54,8 +54,16 @@ def organize_scan(points: np.ndarray, rings: np.ndarray,
                   width: int) -> RingGrid:
     """Host-side binning of an unordered scan into a ring-major, azimuth-
     sorted grid (the layout the device kernels need; replaces PCL's
-    ring-indexed access). O(N log N) NumPy; runs once per scan on ingest.
+    ring-indexed access). Runs once per scan on ingest — native C++ when the
+    compiled library is available (beam_slam_tpu.ops.native), NumPy
+    otherwise.
     """
+    from beam_slam_tpu.ops import native
+    out = native.organize_scan_native(points, rings, times, n_rings, width)
+    if out is not None:
+        xyz, tgrid, valid = out
+        return RingGrid(xyz=jnp.asarray(xyz), time=jnp.asarray(tgrid),
+                        valid=jnp.asarray(valid))
     points = np.asarray(points, np.float32)
     n = len(points)
     if times is None:

@@ -41,6 +41,9 @@ class LoamRegistrationConfig(NamedTuple):
     # the 1st, otherwise the neighbor set is a line, not a plane.
     plane_planarity_min: float = 0.02
     min_inliers: int = 20
+    # per-iteration trust region (rad / m)
+    max_rot_step: float = 0.1
+    max_trans_step: float = 0.5
 
 
 class RegistrationResult(NamedTuple):
@@ -157,9 +160,14 @@ def register_loam(scan: FeatureCloud, map_edges, map_edges_valid,
     ``scan`` features are in the scan frame; maps are world/map-frame point
     sets (strong+weak features concatenated by the caller).
     """
+    # scan side: STRONG edges only (classic LOAM matches sharp scan points
+    # against the denser map; weak scan "edges" are often ring-arc artifacts
+    # whose line fits are viewpoint-dependent and creep the solution — the
+    # observed failure mode was ~0.15°/iteration rotation drift)
     edges = jnp.concatenate([scan.edge_strong, scan.edge_weak], axis=0)
     edges_valid = jnp.concatenate([scan.edge_strong_valid,
-                                   scan.edge_weak_valid], axis=0)
+                                   jnp.zeros_like(scan.edge_weak_valid)],
+                                  axis=0)
     surfs = jnp.concatenate([scan.surf_strong, scan.surf_weak], axis=0)
     surfs_valid = jnp.concatenate([scan.surf_strong_valid,
                                    scan.surf_weak_valid], axis=0)
@@ -194,10 +202,25 @@ def register_loam(scan: FeatureCloud, map_edges, map_edges_valid,
         J = jax.jacfwd(residuals)(delta0)
         H = J.T @ J
         g = -J.T @ r
-        Hd = H + 1e-6 * jnp.eye(6, dtype=dtype)
+        Hd = H + 1e-4 * jnp.eye(6, dtype=dtype)
         delta = jnp.linalg.solve(Hd, g)
         ok = jnp.all(jnp.isfinite(delta))
         delta = jnp.where(ok, delta, 0.0)
+        # trust region: a refit with a degenerate correspondence set can
+        # produce one catastrophic step that the remaining iterations never
+        # recover from — clamp rotation/translation step norms...
+        rot_n = jnp.linalg.norm(delta[0:3])
+        tr_n = jnp.linalg.norm(delta[3:6])
+        delta = delta.at[0:3].multiply(
+            jnp.minimum(1.0, cfg.max_rot_step / jnp.maximum(rot_n, 1e-12)))
+        delta = delta.at[3:6].multiply(
+            jnp.minimum(1.0, cfg.max_trans_step / jnp.maximum(tr_n, 1e-12)))
+        # ...and reject any step that increases the (fixed-correspondence)
+        # cost.
+        cost0 = jnp.sum(r * r)
+        cost1 = jnp.sum(residuals(delta) ** 2)
+        accept = ok & (cost1 < cost0)
+        delta = jnp.where(accept, delta, 0.0)
         q_new = lie.quat_normalize(lie.quat_mul(q, lie.so3_exp_quat(delta[0:3])))
         p_new = p + delta[3:6]
         n_in = jnp.sum(w_e) + jnp.sum(w_s)

@@ -43,9 +43,15 @@ class ScanRegistrationParams:
     min_motion_rot_deg: float = 0.0
     max_motion_trans_m: float = 10.0
     fix_first_scan: bool = True
-    # validation gates (RegistrationValidation): registered-vs-seed limits
-    max_correction_trans_m: float = 0.5
-    max_correction_rot_deg: float = 30.0
+    # validation gates (RegistrationValidation): registered-vs-seed limits.
+    # NOTE: the seed comes from IMU odometry anchored to the *graph*, while
+    # registration is anchored to the *map*; slow graph-vs-map divergence
+    # shows up here as a growing "correction" even when registration is
+    # perfectly healthy — so these bounds must be generous (they only catch
+    # true divergence), unlike registration-quality gates (inliers/residual)
+    # which live in LoamRegistrationConfig.
+    max_correction_trans_m: float = 2.0
+    max_correction_rot_deg: float = 45.0
     # measurement covariance: fixed diagonal (reference 'use fixed covariance'
     # option) or derived from the GN information when None
     fixed_covariance: Optional[float] = 1e-4

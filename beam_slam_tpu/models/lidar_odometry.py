@@ -41,6 +41,14 @@ class LidarOdometryParams:
     max_failures_before_reset: int = 10  # lidar_odometry.cpp:406
     trigger_inertial_odometry: bool = True
     output_slam_chunks: bool = True
+    # Graph-update handling of registration-map scan poses
+    # (lidar_odometry.cpp:230-298 'all-scans or batch drift-correct modes'):
+    #   "none"      — keep registered poses; the map stays a rigid,
+    #                 odometry-consistent structure (default: rewriting map
+    #                 poses from the graph each tick feeds solver noise back
+    #                 into future lidar measurements)
+    #   "all_scans" — rewrite every in-window scan pose from the graph
+    map_update_mode: str = "none"
 
 
 class LidarOdometry:
@@ -122,7 +130,8 @@ class LidarOdometry:
             if stamp in live:
                 st = smoother.get_state(stamp)
                 self._kf_pose[stamp] = (st["q"], st["p"])
-                if reg_map is not None:
+                if (reg_map is not None
+                        and self.params.map_update_mode == "all_scans"):
                     # registration map stores lidar-frame poses
                     q_bl = getattr(self.registration, "q_bl", None)
                     if q_bl is not None:

@@ -45,6 +45,11 @@ class InitParams:
     min_observability: float = 0.25
     align_to_gravity: bool = True
     prior_sqrt_info_weight: float = 1e2
+    # covariance of the path-derived relative-pose constraints added to the
+    # ignition graph (AddLidarConstraints, slam_initialization.cpp:505+) —
+    # without them the ignition solve is IMU-only and the path can stretch
+    # to match any velocity-estimate error
+    path_rel_cov: float = 1e-4
 
 
 class LidarPathInit:
@@ -154,6 +159,7 @@ class SLAMInitialization:
 
         # AlignPathAndVelocities (:400-431): rotate everything so that the
         # estimated gravity maps onto [0, 0, -g]
+        q_align = np.array([1, 0, 0, 0], np.float32)
         if self.params.align_to_gravity:
             q_align = alignment.align_world_to_gravity(res.gravity)
             qa = jnp.asarray(q_align)
@@ -167,15 +173,27 @@ class SLAMInitialization:
             vels = res.velocities.astype(np.float32)
 
         # ignition transaction: states + IMU chain + priors
-        # (AddPosesAndInertialConstraints :433-503)
+        # (AddPosesAndInertialConstraints :433-503).
+        # The prior anchors the gauge but must leave roll/pitch nearly free:
+        # the init gravity direction carries ~0.2-0.5° of error, and a stiff
+        # orientation prior would freeze that tilt into the world frame,
+        # turning it into ½·ε·g·t² position drift. The reference holds only
+        # *positions* during the lidar-mode init solve
+        # (slam_initialization.cpp:337-362) for the same reason.
         txn = Transaction(stamp=float(stamps[0]))
         w = self.params.prior_sqrt_info_weight
+        prior_diag = np.concatenate([
+            np.full(3, 1.0),   # orientation: weak (yaw gauge only)
+            np.full(3, w),     # position: gauge anchor
+            np.full(3, 0.1 * w),  # velocity
+            np.full(3, w),     # gyro bias
+            np.full(3, w),     # accel bias
+        ]).astype(np.float32)
         for i in range(len(stamps)):
             txn.add_imu_state(float(stamps[i]), q_path[i], p_path[i], vels[i],
                               res.bg, res.ba)
         txn.add_imu_prior(float(stamps[0]), q_path[0], p_path[0], vels[0],
-                          res.bg, res.ba,
-                          w * np.eye(15, dtype=np.float32))
+                          res.bg, res.ba, np.diag(prior_diag))
         for j in range(1, len(stamps)):
             sel = (imu_t >= stamps[j - 1]) & (imu_t < stamps[j])
             t_seg = imu_t[sel]
@@ -191,6 +209,18 @@ class SLAMInitialization:
             txn.add_imu_relative(float(stamps[j - 1]), float(stamps[j]), d,
                                  res.bg, res.ba,
                                  info_weight=self.imu_params.info_weight)
+        # path-derived relative pose constraints (AddLidarConstraints /
+        # AddVisualConstraints role): anchor the ignition shape to the
+        # registered path, not just the IMU chain
+        w_rel = 1.0 / np.sqrt(self.params.path_rel_cov)
+        for j in range(1, len(stamps)):
+            q_i = jnp.asarray(q_path[j - 1])
+            dq = lie.quat_mul(lie.quat_conj(q_i), jnp.asarray(q_path[j]))
+            dp = lie.quat_rotate(lie.quat_conj(q_i),
+                                 jnp.asarray(p_path[j] - p_path[j - 1]))
+            txn.add_relative_pose(float(stamps[j - 1]), float(stamps[j]),
+                                  np.asarray(dq), np.asarray(dp),
+                                  w_rel * np.eye(6, dtype=np.float32))
         self.smoother.send_transaction(txn)
         self.smoother.run_once()  # the ≤1 s ignition solve (lvio.yaml:46)
 
@@ -201,7 +231,8 @@ class SLAMInitialization:
             bg=np.asarray(res.bg, np.float32),
             ba=np.asarray(res.ba, np.float32),
             gravity=res.gravity, scale=res.scale,
-            observability=res.observability)
+            observability=res.observability,
+            q_align=np.asarray(q_align, np.float32))
         if self.on_initialized:
             self.on_initialized(self.result)
         return True

@@ -68,6 +68,8 @@ class LocalMapperConfig:
         lreg.LoamRegistrationConfig()
     registration_type: str = "SCANTOMAP"  # SCANTOMAP | MULTISCAN
     map_size: int = 10
+    # GravityAlignment plugin (roll/pitch anchoring factors per keyframe)
+    use_gravity_alignment: bool = True
     init: InitParams = dataclasses.field(default_factory=InitParams)
     calibration: CalibrationConfig = dataclasses.field(
         default_factory=CalibrationConfig)

@@ -21,6 +21,8 @@ import numpy as np
 from beam_slam_tpu.lidar.cloud import RingGrid
 from beam_slam_tpu.lidar.scan_registration import (MultiScanLoamRegistration,
                                                    ScanToMapLoamRegistration)
+from beam_slam_tpu.models.gravity_alignment import (GravityAlignment,
+                                                    GravityAlignmentParams)
 from beam_slam_tpu.models.inertial_odometry import InertialOdometry
 from beam_slam_tpu.models.lidar_odometry import (LidarOdometry,
                                                  LidarOdometryParams,
@@ -45,6 +47,12 @@ class LocalMapper:
         use_vision = config.mode in ("VIO", "LVIO")
 
         self.io = InertialOdometry(self.smoother, config.imu)
+        # long smoothing window (~1 s at 200 Hz) so oscillatory platform
+        # acceleration averages out of the measured gravity direction
+        self.gravity_alignment = (
+            GravityAlignment(self.smoother, GravityAlignmentParams(
+                info_weight=2.0, smooth_window=201, max_imu_dt=0.05))
+            if config.use_gravity_alignment else None)
 
         self.lo = None
         if use_lidar:
@@ -109,6 +117,11 @@ class LocalMapper:
 
     def _trigger(self, t: float):
         self.io.process_trigger(t)
+        if self.gravity_alignment is not None:
+            from beam_slam_tpu.solver.smoother import Transaction
+            txn = Transaction(stamp=t)
+            if self.gravity_alignment.process_stamp(t, txn):
+                self.smoother.send_transaction(txn)
         self._pending_tick = True
 
     def _on_initialized(self, result: dict):
@@ -124,11 +137,38 @@ class LocalMapper:
         if self.lo is not None:
             self.lo.initialize(result["stamp"])
             self.lo.last_stamp = result["stamp"]
+            # Carry the init-phase registration map over, rebased into the
+            # gravity-aligned frame (SLAMInitialization::UpdateRegistrationMap,
+            # slam_initialization.cpp:364) — starting from an empty map makes
+            # the first post-init registration lock onto a single sparse scan
+            # and corrupts the first relative factor.
+            init_reg = self.init.lidar_path.reg
+            if (isinstance(self.lo.registration, ScanToMapLoamRegistration)
+                    and not init_reg.map.empty):
+                import jax.numpy as jnp
+
+                reg = self.lo.registration
+                reg.map = init_reg.map
+                # rebase every init scan pose from the *optimized* graph
+                # (the ignition solve may have rotated the whole window to
+                # satisfy gravity, so a pure q_align rotation is not enough)
+                last = None
+                for stamp in self.smoother.current_stamps():
+                    st = self.smoother.get_state(stamp)
+                    q_wl, p_wl = reg._lidar_from_baselink(
+                        jnp.asarray(st["q"]), jnp.asarray(st["p"]))
+                    reg.map.update_pose(stamp, np.asarray(q_wl),
+                                        np.asarray(p_wl))
+                    last = (stamp, q_wl, p_wl)
+                if last is not None:
+                    reg.prev = last
         if self.vo is not None:
             self.vo.initialize(result["stamp"])
 
     # -- sensor callbacks ----------------------------------------------------
     def on_imu(self, t: float, w, a):
+        if self.gravity_alignment is not None:
+            self.gravity_alignment.process_imu(t, a)
         if not self.initialized:
             self.init.add_imu(t, w, a)
         else:

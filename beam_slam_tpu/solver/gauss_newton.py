@@ -126,6 +126,12 @@ def assemble_normal_equations(
     return H, g, H_ll, g_l, W, cost
 
 
+# jitted assembly entry point for host callers (e.g. exact marginalization) —
+# eager per-op dispatch is pathologically slow on remote-TPU backends
+assemble_normal_equations_jit = functools.partial(
+    jax.jit, static_argnums=(2,))(assemble_normal_equations)
+
+
 def total_cost(window: WindowState, families: Sequence,
                losses: Tuple[Optional[float], ...]) -> jnp.ndarray:
     """Robustified cost only (no Jacobians) — used for LM trial evaluation."""

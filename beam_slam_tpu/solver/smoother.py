@@ -111,6 +111,15 @@ class GravitySpec:
 
 
 @dataclasses.dataclass
+class MotionSpec:
+    """Constant-velocity kinematic factor (Unicycle3D motion model)."""
+    stamp_i: Stamp
+    stamp_j: Stamp
+    dt: float
+    sqrt_info: np.ndarray  # [9,9]
+
+
+@dataclasses.dataclass
 class LandmarkSpec:
     """New Euclidean visual landmark (VisualMap::AddLandmark)."""
     lm_id: int
@@ -144,6 +153,7 @@ class Transaction:
     landmarks: List[LandmarkSpec] = dataclasses.field(default_factory=list)
     reprojections: List[ReprojectionSpec] = dataclasses.field(
         default_factory=list)
+    motion: List[MotionSpec] = dataclasses.field(default_factory=list)
 
     def add_imu_state(self, stamp, q, p, v, bg=None, ba=None):
         self.imu_states.append(ImuStateInit(
@@ -201,10 +211,17 @@ class Transaction:
             np.asarray(sqrt_info), sensor))
         return self
 
+    def add_constant_velocity(self, stamp_i, stamp_j, sqrt_info):
+        self.motion.append(MotionSpec(
+            float(stamp_i), float(stamp_j), float(stamp_j) - float(stamp_i),
+            np.asarray(sqrt_info)))
+        return self
+
     def merge(self, other: "Transaction"):
         """fuse_core::Transaction::merge."""
         for f in ("imu_states", "imu_relative", "imu_priors", "rel_poses",
-                  "abs_poses", "gravity", "landmarks", "reprojections"):
+                  "abs_poses", "gravity", "landmarks", "reprojections",
+                  "motion"):
             getattr(self, f).extend(getattr(other, f))
         self.stamp = max(self.stamp, other.stamp)
         return self
@@ -279,6 +296,8 @@ class SmootherConfig:
     max_abs_pose_factors: int = 32
     max_gravity_factors: int = 64
     max_reprojection_factors: int = 2048
+    max_motion_factors: int = 64
+    max_marginal_factors: int = 16
     cauchy_loss_rel_pose: Optional[float] = None
     cauchy_loss_reprojection: Optional[float] = None
     solver: gn.SolverOptions = gn.SolverOptions()
@@ -334,6 +353,14 @@ class FixedLagSmoother:
         self.arena_reproj = _Arena(config.max_reprojection_factors, dict(
             pixel=(2,), intr=(4,), sqrt_info=(2, 2)))
         self.arena_reproj.set_slot_width(3)  # (imu, extrinsic, landmark)
+        self.arena_motion = _Arena(config.max_motion_factors, dict(
+            dt=(), sqrt_info=(9, 9)))
+        self.arena_motion.set_slot_width(2)
+        M = fc.MARGINAL_MAX_BLOCKS
+        self.arena_marg = _Arena(config.max_marginal_factors, dict(
+            q_lin=(M, 4), p_lin=(M, 3), v_lin=(M, 3), bg_lin=(M, 3),
+            ba_lin=(M, 3), A=(M * 15, M * 15), b=(M * 15,)))
+        self.arena_marg.set_slot_width(M)
 
         # landmark store (bs_variables Point3DLandmark; id-addressed)
         Lm = config.max_landmarks
@@ -347,6 +374,7 @@ class FixedLagSmoother:
         self._pending: List[Transaction] = []
         self._started = False
         self._on_update: List[Callable] = []
+        self._motion_models: List[Callable] = []
         self.last_diagnostics: Optional[gn.SolveDiagnostics] = None
         self.solve_count = 0
         self.total_solve_time = 0.0
@@ -357,6 +385,12 @@ class FixedLagSmoother:
 
     def register_on_update(self, cb: Callable[["FixedLagSmoother"], None]):
         self._on_update.append(cb)
+
+    def register_motion_model(self, cb: Callable):
+        """Motion-model hook (fuse_optimizers::Optimizer::applyMotionModels):
+        called with (transaction, smoother) for every queued transaction
+        before it is applied."""
+        self._motion_models.append(cb)
 
     def register_extrinsic(self, name: str, q, p, held: bool = True) -> int:
         """Add a named sensor extrinsic (frame: baselink→sensor). ``held``
@@ -452,6 +486,12 @@ class FixedLagSmoother:
             a.slots[i] = (self._slot_for(f.stamp),)
             a.fields["g_body"][i] = f.g_body
             a.fields["sqrt_info"][i] = f.sqrt_info
+        for f in txn.motion:
+            i = self.arena_motion.alloc()
+            a = self.arena_motion
+            a.slots[i] = (self._slot_for(f.stamp_i), self._slot_for(f.stamp_j))
+            a.fields["dt"][i] = f.dt
+            a.fields["sqrt_info"][i] = f.sqrt_info
         for lm in txn.landmarks:
             s = self._lm_slot_for(lm.lm_id, create=True)
             self.lm_pt[s] = lm.position
@@ -487,10 +527,17 @@ class FixedLagSmoother:
 
     # -- marginalization ----------------------------------------------------
     def _marginalize(self):
-        """Pseudo-marginalization (fixed_lag_smoother.cpp:244-268): drop
-        out-of-window states and every factor touching them; then add a
-        15-dof prior (cov marginalization_prior_cov · I) at the *current
-        values* of the new window-start state (GetWindowStartState :742-797).
+        """Window expiry. Two modes, mirroring the reference smoother:
+
+        * pseudo-marginalization (fixed_lag_smoother.cpp:244-268, the
+          default of every reference config): drop out-of-window states and
+          every factor touching them; then add a 15-dof prior
+          (cov marginalization_prior_cov · I) at the *current values* of the
+          new window-start state (GetWindowStartState :742-797);
+        * exact marginalization (fuse_constraints::marginalizeVariables,
+          :269-272): linearize the factors touching the stale states,
+          Schur-eliminate the stale dofs in f64, and keep the resulting
+          dense marginal prior on the connected remaining states.
         """
         if not self.slot_of_stamp:
             return
@@ -499,6 +546,12 @@ class FixedLagSmoother:
         stale = [t for t in self.slot_of_stamp if t < expiry]
         if not stale:
             return
+        exact_done = False
+        if not self.cfg.pseudo_marginalization:
+            # attempt exact marginalization BEFORE mutating state; fall back
+            # to pseudo if the connectivity exceeds the marginal block cap
+            exact_done = self._exact_marginal_prior(
+                {self.slot_of_stamp[t] for t in stale})
         stale_slots = set()
         for t in stale:
             s = self.slot_of_stamp.pop(t)
@@ -508,7 +561,9 @@ class FixedLagSmoother:
             self._state_free.append(s)
         for arena, imu_blocks in ((self.arena_imu, 2), (self.arena_prior, 1),
                                   (self.arena_rel, 2), (self.arena_abs, 1),
-                                  (self.arena_grav, 1), (self.arena_reproj, 1)):
+                                  (self.arena_grav, 1), (self.arena_reproj, 1),
+                                  (self.arena_motion, 2),
+                                  (self.arena_marg, fc.MARGINAL_MAX_BLOCKS)):
             for i in arena.active_indices():
                 if any(arena.slots[i, b] in stale_slots
                        for b in range(imu_blocks)):
@@ -525,7 +580,10 @@ class FixedLagSmoother:
                 self.lm_id_of_slot[s] = -1
                 self.slot_of_lm_id.pop(lm_id, None)
                 self._lm_free.append(int(s))
-        # window-start prior at current values
+        # window-start prior at current values (pseudo mode, or exact mode's
+        # fallback when the marginal block cap was exceeded)
+        if exact_done:
+            return
         if self.slot_of_stamp:
             start = min(self.slot_of_stamp)
             s = self.slot_of_stamp[start]
@@ -539,6 +597,105 @@ class FixedLagSmoother:
             a.fields["bg0"][i] = self.bg[s]
             a.fields["ba0"][i] = self.ba[s]
             a.fields["sqrt_info"][i] = w * np.eye(15, dtype=np.float32)
+
+    def _exact_marginal_prior(self, stale_slots: set) -> bool:
+        """Exact marginalization: linearize every (non-visual) factor that
+        touches a stale slot at current values, Schur-eliminate the stale
+        dofs in float64, and store the result as a dense MarginalPrior over
+        the connected remaining states. Returns False (→ pseudo fallback)
+        when the remaining connectivity exceeds MARGINAL_MAX_BLOCKS.
+
+        Reprojection factors touching stale states are dropped rather than
+        marginalized (their landmarks would otherwise need eliminating too —
+        they are handled by the landmark-release pass); this loses only the
+        visual information of already-expired frames.
+        """
+        from beam_slam_tpu.core.window import IMU_DOF
+
+        window, families, _ = self._build_device_problem()
+        # involved = non-visual factors with >= 1 stale block
+        involved = []
+        for fam_idx, (arena, n_imu) in enumerate((
+                (self.arena_imu, 2), (self.arena_prior, 1),
+                (self.arena_rel, 2), (self.arena_abs, 1),
+                (self.arena_grav, 1), (None, 0),  # reproj skipped
+                (self.arena_motion, 2), (self.arena_marg,
+                                         fc.MARGINAL_MAX_BLOCKS))):
+            if arena is None:
+                continue
+            for i in arena.active_indices():
+                slots_i = [int(arena.slots[i, b]) for b in range(n_imu)]
+                if any(s in stale_slots for s in slots_i):
+                    involved.append((fam_idx, i, slots_i))
+        if not involved:
+            return True  # nothing connected: dropping the states is exact
+
+        r_slots = sorted({s for _, _, slots_i in involved for s in slots_i
+                          if s not in stale_slots and self.state_active[s]})
+        if len(r_slots) > fc.MARGINAL_MAX_BLOCKS:
+            return False
+        m_slots = sorted(stale_slots)
+
+        # Assemble normal equations restricted to the involved factors: we
+        # reuse the full-device families but mask activity to the involved
+        # subset of each family.
+        masked = []
+        for fam_idx, fam in enumerate(families):
+            keep = np.zeros(fam.capacity, bool)
+            for fidx, i, _ in involved:
+                if fidx == fam_idx:
+                    keep[i] = True
+            masked.append(fam.replace(
+                active=jnp.asarray(keep) & fam.active))
+        H, g, _, _, _, _ = gn.assemble_normal_equations_jit(
+            window, tuple(masked), (None,) * len(masked))
+        H = np.asarray(H, np.float64)[:-1, :-1]
+        g = np.asarray(g, np.float64)[:-1]
+
+        def dofs(slots):
+            return np.concatenate([np.arange(s * IMU_DOF, (s + 1) * IMU_DOF)
+                                   for s in slots]) if slots else \
+                np.zeros(0, int)
+
+        mi = dofs(m_slots)
+        ri = dofs(r_slots)
+        H_mm = H[np.ix_(mi, mi)] + 1e-9 * np.eye(len(mi))
+        H_mr = H[np.ix_(mi, ri)]
+        H_rr = H[np.ix_(ri, ri)]
+        g_m = g[mi]
+        g_r = g[ri]
+        X = np.linalg.solve(H_mm, np.concatenate(
+            [H_mr, g_m[:, None]], axis=1))
+        H_marg = H_rr - H_mr.T @ X[:, :-1]
+        g_marg = g_r - H_mr.T @ X[:, -1]
+        # factor r(d) = A·d + b with AᵀA = H_marg and −Aᵀb = g_marg
+        H_marg = 0.5 * (H_marg + H_marg.T)
+        w_eig, V = np.linalg.eigh(H_marg)
+        w_eig = np.maximum(w_eig, 1e-9)
+        sqrt_w = np.sqrt(w_eig)
+        A_r = (V * sqrt_w[None, :]) @ V.T            # symmetric sqrt
+        b_r = -np.linalg.solve(A_r, g_marg)
+
+        # write the arena entry (pad to MARGINAL_MAX_BLOCKS)
+        M = fc.MARGINAL_MAX_BLOCKS
+        i = self.arena_marg.alloc()
+        a = self.arena_marg
+        slots_pad = (r_slots + [r_slots[0]] * M)[:M] if r_slots else [0] * M
+        a.slots[i] = slots_pad
+        A_pad = np.zeros((M * 15, M * 15), np.float32)
+        b_pad = np.zeros(M * 15, np.float32)
+        nr = len(ri)
+        A_pad[:nr, :nr] = A_r
+        b_pad[:nr] = b_r
+        a.fields["A"][i] = A_pad
+        a.fields["b"][i] = b_pad
+        for m, s in enumerate(slots_pad):
+            a.fields["q_lin"][i, m] = self.q[s]
+            a.fields["p_lin"][i, m] = self.p[s]
+            a.fields["v_lin"][i, m] = self.v[s]
+            a.fields["bg_lin"][i, m] = self.bg[s]
+            a.fields["ba_lin"][i, m] = self.ba[s]
+        return True
 
     # -- device round-trip --------------------------------------------------
     def _build_device_problem(self):
@@ -600,9 +757,24 @@ class FixedLagSmoother:
             pixel=jnp.asarray(a.fields["pixel"]),
             intr=jnp.asarray(a.fields["intr"]),
             sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
-        families = (rel, prior, rel_pose, abs_pose, grav, reproj)
+        a = self.arena_motion
+        motion = fc.ConstantVelocityFactors(
+            slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
+            dt=jnp.asarray(a.fields["dt"]),
+            sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
+        a = self.arena_marg
+        marg = fc.MarginalPriorFactors(
+            slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
+            q_lin=jnp.asarray(a.fields["q_lin"]),
+            p_lin=jnp.asarray(a.fields["p_lin"]),
+            v_lin=jnp.asarray(a.fields["v_lin"]),
+            bg_lin=jnp.asarray(a.fields["bg_lin"]),
+            ba_lin=jnp.asarray(a.fields["ba_lin"]),
+            A=jnp.asarray(a.fields["A"]), b=jnp.asarray(a.fields["b"]))
+        families = (rel, prior, rel_pose, abs_pose, grav, reproj, motion,
+                    marg)
         losses = (None, None, self.cfg.cauchy_loss_rel_pose, None, None,
-                  self.cfg.cauchy_loss_reprojection)
+                  self.cfg.cauchy_loss_reprojection, None, None)
         return window, families, losses
 
     def _pull_back(self, window: WindowState):
@@ -625,6 +797,8 @@ class FixedLagSmoother:
         pending, self._pending = self._pending, []
         pending.sort(key=lambda t: t.stamp)
         for txn in pending:
+            for mm in self._motion_models:
+                mm(txn, self)
             self._apply(txn)
         if self.cfg.pseudo_marginalization:
             self._marginalize()

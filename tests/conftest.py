@@ -21,10 +21,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache: the suite is dominated by XLA compiles of the
-# (static-shape) solver/registration kernels; repeat runs hit the disk cache.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# NOTE on the XLA persistent compilation cache: do NOT enable it here. In
+# this environment CPU executables may be AOT-compiled with machine features
+# of a different host (remote compile service / migrating VMs), and loading
+# such a cache entry aborts the whole test process (SIGABRT in
+# compilation_cache.get_executable_and_time). Compile times are paid per run
+# instead — slower but deterministic.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
