@@ -550,6 +550,66 @@ class ReprojectionFactors(FactorBatch):
         return A @ (jnp.stack([u, v]) - pixel)
 
 
+class InverseDepthReprojectionFactors(FactorBatch):
+    """2-dof reprojection of an inverse-depth landmark (binary variant).
+
+    Mirrors bs_constraints/visual/inversedepth_reprojection_functor.h:15-136
+    and bs_variables/inverse_depth_landmark.h:22: the landmark is a fixed
+    bearing (mx, my, 1) in its *anchor* keyframe's camera frame plus a 1-dof
+    inverse depth ρ. The residual projects the anchor-frame point m̄/ρ into
+    the measurement keyframe via the relative camera pose and compares to the
+    measured pixel.
+
+    Storage: ρ lives in component 0 of a standard 3-dof landmark slot; the
+    other two components have identically-zero Jacobians, so the Schur
+    elimination treats the block as rank-1 (exactly a 1-dof landmark — the
+    damping floor keeps the 3×3 inverse finite and their updates are exactly
+    zero).
+    """
+
+    bearing: jnp.ndarray    # [F, 2] (mx, my) in the anchor camera frame
+    pixel: jnp.ndarray      # [F, 2] measured (undistorted) pixel
+    intr: jnp.ndarray       # [F, 4] fx, fy, cx, cy
+    sqrt_info: jnp.ndarray  # [F, 2, 2]
+
+    BLOCKS = (BLOCK_IMU, BLOCK_IMU, BLOCK_EXTRINSIC, BLOCK_LANDMARK)
+    RESIDUAL_DIM = 2
+
+    @staticmethod
+    def zeros(F: int, dtype=jnp.float32) -> "InverseDepthReprojectionFactors":
+        return InverseDepthReprojectionFactors(
+            slots=jnp.zeros((F, 4), jnp.int32),
+            active=jnp.zeros((F,), bool),
+            bearing=jnp.zeros((F, 2), dtype),
+            pixel=jnp.zeros((F, 2), dtype),
+            intr=jnp.tile(jnp.asarray([1.0, 1.0, 0.0, 0.0], dtype), (F, 1)),
+            sqrt_info=jnp.zeros((F, 2, 2), dtype),
+        )
+
+    def params(self):
+        return (self.bearing, self.pixel, self.intr, self.sqrt_info)
+
+    def residual(self, block_states, params_one):
+        ((q_a, p_a, *_), (q_m, p_m, *_), (q_bc, p_bc),
+         (lm,)) = block_states
+        bearing, pixel, intr, A = params_one
+        rho = jnp.maximum(lm[0], 1e-4)
+        # anchor camera pose
+        q_wca = lie.quat_mul(q_a, q_bc)
+        p_wca = p_a + lie.quat_rotate(q_a, p_bc)
+        # measurement camera pose
+        q_wcm = lie.quat_mul(q_m, q_bc)
+        p_wcm = p_m + lie.quat_rotate(q_m, p_bc)
+        # anchor-frame point → world → measurement frame
+        X_a = jnp.concatenate([bearing, jnp.ones(1, bearing.dtype)]) / rho
+        X_w = lie.quat_rotate(q_wca, X_a) + p_wca
+        X_m = lie.quat_rotate(lie.quat_conj(q_wcm), X_w - p_wcm)
+        z = jnp.maximum(X_m[2], 1e-3)
+        u = intr[0] * X_m[0] / z + intr[2]
+        v = intr[1] * X_m[1] / z + intr[3]
+        return A @ (jnp.stack([u, v]) - pixel)
+
+
 class GravityAlignmentFactors(FactorBatch):
     """2-dof roll/pitch alignment factor: xy components of R_WB⁻¹... mirrors
     bs_constraints/global/gravity_alignment_cost_functor.h:32-82 — the

@@ -15,9 +15,10 @@ Re-implements ``bs_models::global_mapping::GlobalMapRefinement``
   3. SubmapPoseGraphOptimization — loop-closure PGO over submap poses
      (reuses the GlobalMapper pose graph).
 
-GlobalMapBatchOptimization (whole-trajectory re-registration with
-scan-context loop closures + statistical outlier rejection,
-global_map_batch_optimization.cpp) is scheduled for the next round.
+  4. GlobalMapBatchOptimization
+     (global_map_batch_optimization.h:13-89, .cpp) — whole-trajectory pose
+     graph over every lidar keyframe with ScanContext loop-closure search,
+     LOAM refinement, and statistical outlier rejection of loop factors.
 """
 
 from __future__ import annotations
@@ -243,13 +244,149 @@ def run_pose_graph_optimization(global_map: GlobalMap,
     return n_loops
 
 
+@dataclasses.dataclass
+class BatchOptimizationParams:
+    """global_map_batch_optimization.h equivalents."""
+
+    rel_cov: float = 1e-3            # odometry backbone factor covariance
+    loop_min_separation_s: float = 5.0
+    max_loop_candidates_per_kf: int = 1
+    sc_max_distance: float = 0.3
+    # statistical outlier rejection (:46-66): reject loop factors whose
+    # residual magnitude exceeds median + k·MAD over all loop factors
+    outlier_k_mad: float = 3.0
+    solver: gn.SolverOptions = gn.SolverOptions(max_iterations=20)
+    max_keyframes: int = 128
+
+
+def run_batch_optimization(global_map: GlobalMap,
+                           params: BatchOptimizationParams =
+                           BatchOptimizationParams()) -> dict:
+    """Whole-trajectory batch optimization: pose graph over every lidar
+    keyframe (world frame), ScanContext loop closures with LOAM refinement
+    and MAD-based outlier rejection, then write the optimized poses back
+    into the submaps."""
+    from beam_slam_tpu.global_mapping import scancontext as sc
+    from beam_slam_tpu.solver.smoother import (FixedLagSmoother,
+                                               SmootherConfig, Transaction)
+
+    # gather keyframes: (stamp, q_w, p_w, features, (submap_idx, kf_idx))
+    kfs = []
+    for si, sm in enumerate(global_map.submaps):
+        for ki, kf in enumerate(sm.lidar_keyframes):
+            q_w, p_w = sm.submap_to_world(kf.q, kf.p)
+            kfs.append((kf.stamp, q_w, p_w, kf.features, (si, ki)))
+    kfs.sort(key=lambda x: x[0])
+    kfs = kfs[: params.max_keyframes]
+    if len(kfs) < 3:
+        return dict(keyframes=0, loops_found=0, loops_kept=0)
+
+    smoother = FixedLagSmoother(SmootherConfig(
+        lag_duration=1e12, max_states=params.max_keyframes,
+        max_rel_pose_factors=4 * params.max_keyframes,
+        max_abs_pose_factors=4, max_imu_factors=2, max_prior_factors=2,
+        max_landmarks=1, max_reprojection_factors=1, max_idp_factors=1,
+        solver=params.solver))
+    txn = Transaction(stamp=0.0)
+    w_rel = 1.0 / np.sqrt(params.rel_cov)
+    for (t, q_w, p_w, _, _) in kfs:
+        txn.add_imu_state(t, q_w, p_w, np.zeros(3))
+    txn.add_abs_pose(kfs[0][0], kfs[0][1], kfs[0][2],
+                     1e3 * np.eye(6, dtype=np.float32))
+    for i in range(1, len(kfs)):
+        q_i = jnp.asarray(kfs[i - 1][1])
+        dq = lie.quat_mul(lie.quat_conj(q_i), jnp.asarray(kfs[i][1]))
+        dp = lie.quat_rotate(lie.quat_conj(q_i),
+                             jnp.asarray(kfs[i][2] - kfs[i - 1][2]))
+        txn.add_relative_pose(kfs[i - 1][0], kfs[i][0], np.asarray(dq),
+                              np.asarray(dp),
+                              w_rel * np.eye(6, dtype=np.float32))
+
+    # ScanContext descriptors per keyframe (scan frame)
+    cfg_sc = sc.ScanContextConfig()
+    descs = []
+    for (_, _, _, fcold, _) in kfs:
+        pts = jnp.concatenate([fcold.edge_strong, fcold.edge_weak,
+                               fcold.surf_strong, fcold.surf_weak])
+        valid = jnp.concatenate([fcold.edge_strong_valid,
+                                 fcold.edge_weak_valid,
+                                 fcold.surf_strong_valid,
+                                 fcold.surf_weak_valid])
+        descs.append(np.asarray(sc.make_descriptor(pts, valid, cfg_sc)))
+    descs_j = jnp.asarray(np.stack(descs))
+
+    # loop candidates + LOAM refinement
+    loops = []
+    for i, (t_i, q_i, p_i, fc_i, _) in enumerate(kfs):
+        valid_db = np.asarray(
+            [abs(t_i - kfs[j][0]) > params.loop_min_separation_s
+             for j in range(len(kfs))])
+        if not valid_db.any():
+            continue
+        dists, _ = sc.search(descs_j[i], descs_j, jnp.asarray(valid_db))
+        order = np.argsort(np.asarray(dists))
+        for j in order[: params.max_loop_candidates_per_kf]:
+            if float(dists[j]) > params.sc_max_distance or j <= i:
+                continue
+            t_j, q_j, p_j, fc_j, _ = kfs[j]
+            # register keyframe j against keyframe i's features
+            me = jnp.concatenate([fc_i.edge_strong, fc_i.edge_weak])
+            mev = jnp.concatenate([fc_i.edge_strong_valid,
+                                   fc_i.edge_weak_valid])
+            ms = jnp.concatenate([fc_i.surf_strong, fc_i.surf_weak])
+            msv = jnp.concatenate([fc_i.surf_strong_valid,
+                                   fc_i.surf_weak_valid])
+            # seed: relative pose from current estimates, in frame i
+            q_ii = lie.quat_conj(jnp.asarray(q_i))
+            dq0 = lie.quat_mul(q_ii, jnp.asarray(q_j))
+            dp0 = lie.quat_rotate(q_ii, jnp.asarray(p_j - p_i))
+            res = reg.register_loam(fc_j, me, mev, ms, msv, dq0, dp0,
+                                    reg.LoamRegistrationConfig(
+                                        iterations=10, max_corr_dist=2.0))
+            if not bool(res.converged):
+                continue
+            loops.append((t_i, t_j, np.asarray(res.q), np.asarray(res.p),
+                          dq0, dp0))
+
+    # statistical outlier rejection on loop residuals vs current estimates
+    kept = []
+    if loops:
+        resid = np.asarray([float(jnp.linalg.norm(dp_meas - dp0))
+                            for (_, _, _, dp_meas, _, dp0) in loops])
+        med = np.median(resid)
+        mad = np.median(np.abs(resid - med)) + 1e-6
+        for loop, r in zip(loops, resid):
+            if r <= med + params.outlier_k_mad * mad:
+                kept.append(loop)
+    w_loop = 1.0 / np.sqrt(1e-4)
+    for (t_i, t_j, dq_m, dp_m, _, _) in kept:
+        txn.add_relative_pose(t_i, t_j, dq_m, dp_m,
+                              w_loop * np.eye(6, dtype=np.float32))
+
+    smoother.send_transaction(txn)
+    smoother.run_once()
+
+    # write back: world keyframe poses → submap-frame keyframe poses
+    for (t, _, _, _, (si, ki)) in kfs:
+        st = smoother.get_state(t)
+        sm = global_map.submaps[si]
+        q_sb, p_sb = sm.world_to_submap(st["q"], st["p"])
+        sm.lidar_keyframes[ki].q = np.asarray(q_sb, np.float32)
+        sm.lidar_keyframes[ki].p = np.asarray(p_sb, np.float32)
+    return dict(keyframes=len(kfs), loops_found=len(loops),
+                loops_kept=len(kept))
+
+
 def run_full_refinement(global_map: GlobalMap,
                         params: RefinementParams = RefinementParams(),
                         mesh=None) -> dict:
     """The GlobalMapRefinement orchestrator (global_map_refinement.cpp):
-    submap refinement → submap alignment → pose-graph optimization."""
+    submap refinement → submap alignment → pose-graph optimization →
+    batch optimization."""
     cost = run_submap_refinement(global_map, params, mesh=mesh)
     n_aligned = run_submap_alignment(global_map)
     n_loops = run_pose_graph_optimization(global_map)
+    batch = run_batch_optimization(global_map)
     return dict(refinement_cost=cost, submaps_aligned=n_aligned,
-                loop_closures=n_loops)
+                loop_closures=n_loops, **{f"batch_{k}": v
+                                          for k, v in batch.items()})

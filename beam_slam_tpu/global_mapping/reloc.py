@@ -46,7 +46,9 @@ class EuclideanCandidateSearch:
         q_pos = submaps[query_idx].p
         cands = []
         for i, sm in enumerate(submaps):
-            if i >= query_idx - self.skip_recent + 1:
+            # never the query itself; skip the most recent `skip_recent`
+            # submaps preceding it
+            if i >= query_idx - self.skip_recent:
                 continue
             d = float(np.linalg.norm(np.asarray(sm.p) - np.asarray(q_pos)))
             if d < self.max_distance_m:
@@ -82,7 +84,7 @@ class ScanContextCandidateSearch:
             query.descriptor = self.describe(query)
         db, idxs = [], []
         for i, sm in enumerate(submaps):
-            if i >= query_idx - self.skip_recent + 1:
+            if i >= query_idx - self.skip_recent:
                 continue
             if sm.descriptor is None:
                 sm.descriptor = self.describe(sm)

@@ -121,6 +121,64 @@ def icp_point_to_point(src, src_valid, tgt, tgt_valid, q0, p0,
     return _gn_register(src, src_valid, geom, q0, p0, cfg)
 
 
+def ndt_voxel_gaussian(src, src_valid, tgt, tgt_valid, q0, p0,
+                       cfg: MatcherConfig = MatcherConfig(),
+                       voxel: float = 1.0,
+                       grid_dims=(40, 40, 16)) -> MatchResult:
+    """NDT-style registration: the target is modelled as per-voxel Gaussians
+    (mean + covariance); each source point is scored by the Mahalanobis
+    distance to its voxel's distribution.
+
+    TPU-native formulation: a dense static voxel grid (scatter-add moments,
+    batched 3×3 whitening factors) with point→cell gathers — no hash maps,
+    no data-dependent shapes.
+    """
+    dtype = src.dtype
+    G = grid_dims[0] * grid_dims[1] * grid_dims[2]
+    dims = jnp.asarray(grid_dims, jnp.int32)
+
+    # grid anchored at the target cloud's min corner
+    tgt_safe = jnp.where(tgt_valid[:, None], tgt, jnp.inf)
+    origin = jnp.min(tgt_safe, axis=0) - 0.5 * voxel
+    origin = jnp.where(jnp.isfinite(origin), origin, 0.0)
+
+    def cell_of(pts):
+        c = jnp.floor((pts - origin) / voxel).astype(jnp.int32)
+        inside = jnp.all((c >= 0) & (c < dims), axis=1)
+        c = jnp.clip(c, 0, dims - 1)
+        flat = (c[:, 0] * grid_dims[1] + c[:, 1]) * grid_dims[2] + c[:, 2]
+        return flat, inside
+
+    flat_t, inside_t = cell_of(tgt)
+    w_t = (tgt_valid & inside_t).astype(dtype)
+    cnt = jnp.zeros((G,), dtype).at[flat_t].add(w_t)
+    s1 = jnp.zeros((G, 3), dtype).at[flat_t].add(tgt * w_t[:, None])
+    s2 = jnp.zeros((G, 3, 3), dtype).at[flat_t].add(
+        jnp.einsum("ni,nj->nij", tgt, tgt) * w_t[:, None, None])
+    n_safe = jnp.maximum(cnt, 1.0)
+    mu = s1 / n_safe[:, None]
+    cov = s2 / n_safe[:, None, None] - jnp.einsum("ni,nj->nij", mu, mu)
+    # regularize: NDT floors the covariance so thin cells stay usable
+    cov = cov + (0.05 * voxel) ** 2 * jnp.eye(3, dtype=dtype)[None]
+    occupied = cnt >= 3
+    L = jnp.linalg.cholesky(jnp.linalg.inv(cov))
+    L = jnp.where(jnp.isfinite(L).all(axis=(1, 2))[:, None, None], L, 0.0)
+
+    def geom(world, valid):
+        flat, inside = cell_of(world)
+        ok = valid & inside & occupied[flat]
+        mu_p = mu[flat]
+        L_p = L[flat]
+        w = ok.astype(dtype)
+
+        def make_res(pts):
+            return jnp.einsum("nij,nj->ni", L_p, pts - mu_p).reshape(-1)
+
+        return make_res, jnp.repeat(w, 3)
+
+    return _gn_register(src, src_valid, geom, q0, p0, cfg)
+
+
 def gicp_point_to_plane(src, src_valid, tgt, tgt_valid, q0, p0,
                         cfg: MatcherConfig = MatcherConfig()) -> MatchResult:
     """GICP-style: project the point-to-nearest error onto the local target

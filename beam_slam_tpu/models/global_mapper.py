@@ -50,6 +50,38 @@ class GlobalMapper:
             self.smoother.run_once()
             self.map.update_submap_poses(self.smoother.get_state)
 
+    def process_reloc_request(self, stamp: float, features, q_wb, p_wb):
+        """RelocRequestMsg flow (bs_common/msg/RelocRequestMsg.msg → the
+        global mapper's reloc path): given a keyframe's features and its
+        local-mapper world pose estimate, search the stored submaps and
+        return the corrected T_WORLD_BASELINK (or None when no candidate
+        match refines successfully)."""
+        import jax.numpy as jnp
+
+        from beam_slam_tpu.core import lie
+        from beam_slam_tpu.global_mapping.submap import Submap
+        if not self.map.submaps:
+            return None
+        # wrap the query as a one-keyframe pseudo-submap at its estimate
+        query = Submap(stamp, np.asarray(q_wb, np.float32),
+                       np.asarray(p_wb, np.float32))
+        query.add_lidar_keyframe(stamp, q_wb, p_wb, features)
+        submaps = self.map.submaps + [query]
+        cands = self.map.candidate_search.find(
+            submaps, len(submaps) - 1, self.map.params.max_candidates)
+        for ci in cands:
+            res = self.map.refinement.refine(submaps[ci], query)
+            if not res.successful:
+                continue
+            base = submaps[ci]
+            q_new = lie.quat_mul(jnp.asarray(base.q), jnp.asarray(res.dq))
+            p_new = (jnp.asarray(base.p)
+                     + lie.quat_rotate(jnp.asarray(base.q),
+                                       jnp.asarray(res.dp)))
+            return np.asarray(q_new, np.float32), np.asarray(p_new,
+                                                             np.float32)
+        return None
+
     def optimize(self):
         """Force a full pose-graph solve + submap pose update."""
         diag = self.smoother.run_once()

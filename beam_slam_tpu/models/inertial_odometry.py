@@ -113,6 +113,9 @@ class ImuPreintegrationModel:
         self.bg = np.zeros(3, np.float32)
         self.ba = np.zeros(3, np.float32)
         self.first_factor_sent = False
+        # constraint ↔ raw-data map (the reference ImuBuffer,
+        # inertial_odometry.h:33-69) — needed for BreakupConstraint
+        self.factor_data: dict = {}  # (t_i, t_j) -> (dts, w, a)
 
     # -- lifecycle ---------------------------------------------------------
     def start(self, t: float, q, p, v, bg=None, ba=None):
@@ -193,6 +196,7 @@ class ImuPreintegrationModel:
                           np.asarray(v_j), self.bg, self.ba)
         txn.add_imu_relative(self.t_kf, t_new, d, self.bg, self.ba,
                              info_weight=self.params.info_weight)
+        self.factor_data[(self.t_kf, t_new)] = (dts, w, a)
 
         # advance anchor
         self.t_kf = float(t_new)
@@ -243,14 +247,77 @@ class InertialOdometry:
             self.odometry_log.append((t, q, p))
 
     def process_trigger(self, t: float):
-        """processTrigger (:171-211): create the IMU factor up to stamp t."""
+        """processTrigger (:171-211): create the IMU factor up to stamp t.
+        A trigger landing strictly inside an existing factor interval splits
+        that factor in two (BreakupConstraint, inertial_odometry.cpp)."""
         if not self.initialized:
             return False
+        if self.model.t_kf is not None and t < self.model.t_kf - 1e-9:
+            return self._breakup_constraint(t)
         txn = Transaction(stamp=t)
         if self.model.register_factor(t, txn):
             self.smoother.send_transaction(txn)
             return True
         return False
+
+    def _breakup_constraint(self, t: float) -> bool:
+        """Split the existing factor whose interval contains t into two
+        preintegrated halves and replace it atomically."""
+        hit = None
+        for (t_i, t_j), (dts, w, a) in self.model.factor_data.items():
+            if t_i + 1e-9 < t < t_j - 1e-9:
+                hit = (t_i, t_j, dts, w, a)
+                break
+        if hit is None:
+            return False
+        t_i, t_j, dts, w, a = hit
+        # sample boundaries: cumulative times from t_i (padding has dt = 0)
+        edges = t_i + np.cumsum(np.concatenate([[0.0], dts]))[:-1]
+        first = edges < t
+        real = dts > 0
+        if not (first & real).any() or not (~first & real).any():
+            return False  # t at an interval boundary: nothing to split
+        dts_a = dts[first].copy()
+        # shorten the straddling sample to end exactly at t
+        if len(dts_a):
+            over = (edges[first][-1] + dts[first][-1]) - t
+            dts_a[-1] = max(dts[first][-1] - over, 1e-6)
+        dts_b_head = np.asarray(
+            [max((edges[first][-1] + dts[first][-1]) - t, 1e-6)]
+            if len(dts_a) else [], np.float32)
+        dts_b = np.concatenate([dts_b_head, dts[~first]]).astype(np.float32)
+        w_a, a_a = w[first], a[first]
+        w_b = np.concatenate([w[first][-1:][0:len(dts_b_head)], w[~first]])
+        a_b = np.concatenate([a[first][-1:][0:len(dts_b_head)], a[~first]])
+        if len(dts_a) < 1 or len(dts_b) < 1:
+            return False
+
+        if t_i not in self.smoother.slot_of_stamp:
+            return False
+        st_i = self.smoother.get_state(t_i)
+        noise = self.model.noise
+        d_a = pre.preintegrate(jnp.asarray(dts_a), jnp.asarray(w_a),
+                               jnp.asarray(a_a), jnp.asarray(self.model.bg),
+                               jnp.asarray(self.model.ba), noise)
+        d_b = pre.preintegrate(jnp.asarray(dts_b), jnp.asarray(w_b),
+                               jnp.asarray(a_b), jnp.asarray(self.model.bg),
+                               jnp.asarray(self.model.ba), noise)
+        q_t, p_t, v_t = pre.predict_state(
+            d_a, jnp.asarray(st_i["q"]), jnp.asarray(st_i["p"]),
+            jnp.asarray(st_i["v"]))
+        txn = Transaction(stamp=t)
+        txn.remove_imu_relative(t_i, t_j)
+        txn.add_imu_state(t, np.asarray(q_t), np.asarray(p_t),
+                          np.asarray(v_t), self.model.bg, self.model.ba)
+        txn.add_imu_relative(t_i, t, d_a, self.model.bg, self.model.ba,
+                             info_weight=self.params.info_weight)
+        txn.add_imu_relative(t, t_j, d_b, self.model.bg, self.model.ba,
+                             info_weight=self.params.info_weight)
+        self.smoother.send_transaction(txn)
+        del self.model.factor_data[(t_i, t_j)]
+        self.model.factor_data[(t_i, t)] = (dts_a, w_a, a_a)
+        self.model.factor_data[(t, t_j)] = (dts_b, w_b, a_b)
+        return True
 
     def _on_graph_update(self, smoother: FixedLagSmoother):
         if not self.initialized or self.model.t_kf is None:

@@ -39,7 +39,7 @@ class InitParams:
     """Mirrors bs_parameters slam_initialization_params (lvio.yaml:44-51:
     min_trajectory_length_m, max_optimization_s, init mode)."""
 
-    mode: str = "LIDAR"             # LIDAR | FRAMEINIT
+    mode: str = "LIDAR"             # LIDAR | VISUAL | FRAMEINIT
     min_trajectory_length_m: float = 3.0
     keyframe_spacing_s: float = 0.5
     min_observability: float = 0.25
@@ -92,7 +92,8 @@ class SLAMInitialization:
                  params: InitParams = InitParams(),
                  imu_params: ImuParams = ImuParams(),
                  lidar_path: Optional[LidarPathInit] = None,
-                 on_initialized: Optional[Callable[[dict], None]] = None):
+                 on_initialized: Optional[Callable[[dict], None]] = None,
+                 camera=None, q_bc=None, p_bc=None):
         self.smoother = smoother
         self.params = params
         self.imu_params = imu_params
@@ -103,6 +104,14 @@ class SLAMInitialization:
         self.imu_w: List[np.ndarray] = []
         self.imu_a: List[np.ndarray] = []
         self.frameinit_path: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        # VISUAL mode state (camera model + T_BASELINK_CAMERA extrinsic)
+        self.camera = camera
+        self.q_bc = np.asarray([1.0, 0, 0, 0] if q_bc is None else q_bc,
+                               np.float32)
+        self.p_bc = np.asarray([0.0, 0, 0] if p_bc is None else p_bc,
+                               np.float32)
+        self.vis_tracks: Dict[int, list] = {}
+        self.vis_stamps: List[float] = []
         self.initialized = False
         self.result: Optional[dict] = None
 
@@ -124,6 +133,39 @@ class SLAMInitialization:
             return self._try_initialize(self.lidar_path.path)
         return False
 
+    def add_camera_measurement(self, meas) -> bool:
+        """VISUAL mode: buffer feature tracks; attempt SfM ignition
+        (ComputePathWithVision → scale/gravity alignment → ignition graph)."""
+        if self.initialized or self.params.mode != "VISUAL":
+            return False
+        if self.camera is None:
+            raise ValueError("VISUAL init mode requires a camera model")
+        for i, lm_id in enumerate(meas.ids):
+            self.vis_tracks.setdefault(int(lm_id), []).append(
+                (meas.stamp, np.asarray(meas.pixels_undistorted[i])))
+        if (not self.vis_stamps
+                or meas.stamp - self.vis_stamps[-1]
+                >= self.params.keyframe_spacing_s):
+            self.vis_stamps.append(meas.stamp)
+        if len(self.vis_stamps) < 4 or len(self.imu_t) < 50:
+            return False
+
+        from beam_slam_tpu.vision.sfm import compute_path_with_vision
+        cam_path = compute_path_with_vision(self.camera, self.vis_tracks,
+                                            self.vis_stamps)
+        if cam_path is None:
+            return False
+        # camera path → baselink path via T_BASELINK_CAMERA
+        q_cb = lie.quat_conj(jnp.asarray(self.q_bc))
+        p_cb = -np.asarray(lie.quat_rotate(q_cb, jnp.asarray(self.p_bc)))
+        path = []
+        for (t, q_wc, p_wc) in cam_path:
+            q_wb = lie.quat_mul(jnp.asarray(q_wc), q_cb)
+            p_wb = p_wc + np.asarray(lie.quat_rotate(jnp.asarray(q_wc),
+                                                     jnp.asarray(p_cb)))
+            path.append((t, np.asarray(q_wb), p_wb))
+        return self._try_initialize(path, estimate_scale=True)
+
     def add_pose(self, stamp: float, q_wb, p_wb) -> bool:
         """FRAMEINIT mode: external pose source."""
         if self.initialized or self.params.mode != "FRAMEINIT":
@@ -138,7 +180,7 @@ class SLAMInitialization:
         return False
 
     # -- the Initialize flow (slam_initialization.cpp:280-372) --------------
-    def _try_initialize(self, path) -> bool:
+    def _try_initialize(self, path, estimate_scale: bool = False) -> bool:
         if len(path) < 3 or len(self.imu_t) < 20:
             return False
         # prune path to IMU coverage (:374 InterpolateVisualMeasurements adj.)
@@ -153,9 +195,20 @@ class SLAMInitialization:
         res = alignment.estimate_parameters(
             stamps, q_path, p_path, imu_t, np.stack(self.imu_w),
             np.stack(self.imu_a), self.noise,
-            min_observability=self.params.min_observability)
+            min_observability=self.params.min_observability,
+            estimate_scale=estimate_scale)
         if res is None or not res.success:
             return False
+        if estimate_scale:
+            # apply the monocular scale (AlignPathAndVelocities :400-431);
+            # the scaled trajectory must still clear the length gate
+            if res.scale <= 0:
+                return False
+            p_path = p_path * res.scale
+            length = float(np.sum(np.linalg.norm(np.diff(p_path, axis=0),
+                                                 axis=1)))
+            if length < self.params.min_trajectory_length_m:
+                return False
 
         # AlignPathAndVelocities (:400-431): rotate everything so that the
         # estimated gravity maps onto [0, 0, -g]

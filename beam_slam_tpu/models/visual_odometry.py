@@ -38,6 +38,16 @@ class VOParams:
     keyframe_parallax_px: float = 20.0
     keyframe_max_dt: float = 1.0
     keyframe_tracks_drop: float = 0.7   # keyframe if tracked fraction below
+    # landmark parameterization (visual_odometry.cpp ProcessLandmarkEUC
+    # :790 vs ProcessLandmarkIDP :722): Euclidean point or inverse-depth
+    landmark_type: str = "EUC"          # EUC | IDP
+    # standalone-VO mode (visual_odometry.cpp:330-342 + CreateVisualOdometry
+    # Factor :984): keep a private graph for the visual BA and send only a
+    # relative-pose factor per keyframe to the main graph
+    standalone: bool = False
+    standalone_lag_s: float = 4.0
+    standalone_iterations: int = 8      # the 0.05 s local BA budget analog
+    standalone_rel_cov: float = 1e-4
     track_cap: int = 256                # fixed capacity for localization
     reprojection_info_weight: float = 1.0
     max_triangulation_reproj_px: float = 5.0
@@ -63,8 +73,30 @@ class VisualOdometry:
         self.sensor = sensor_name
         self.trigger_cb = trigger_cb
         self.frame_initializer = frame_initializer
+        # standalone mode: the visual BA runs in a private graph; only
+        # relative-pose factors reach the main smoother
+        if params.standalone:
+            from beam_slam_tpu.solver import gauss_newton as gn_mod
+            from beam_slam_tpu.solver.smoother import SmootherConfig
+            e = smoother.ext_slot_of_name.get(sensor_name, 0)
+            self.local_smoother = FixedLagSmoother(SmootherConfig(
+                lag_duration=params.standalone_lag_s, max_states=32,
+                max_landmarks=smoother.cfg.max_landmarks,
+                max_reprojection_factors=smoother.cfg
+                .max_reprojection_factors,
+                max_idp_factors=smoother.cfg.max_idp_factors,
+                solver=gn_mod.SolverOptions(
+                    max_iterations=params.standalone_iterations)))
+            self.local_smoother.register_extrinsic(
+                sensor_name, smoother.ext_q[e], smoother.ext_p[e])
+            self.graph = self.local_smoother
+        else:
+            self.local_smoother = None
+            self.graph = smoother
         # track container: id → list of (stamp, uv_undistorted)
         self.tracks: Dict[int, List[Tuple[float, np.ndarray]]] = {}
+        # IDP bookkeeping: lm_id → (anchor_stamp, bearing mx,my)
+        self.idp_anchor: Dict[int, Tuple[float, np.ndarray]] = {}
         self.keyframes: List[float] = []
         self.kf_meas: Dict[float, CameraMeasurement] = {}
         self.kf_pose: Dict[float, Tuple[np.ndarray, np.ndarray]] = {}
@@ -75,9 +107,9 @@ class VisualOdometry:
 
     # -- frames ------------------------------------------------------------
     def _camera_extrinsic(self):
-        e = self.smoother.ext_slot_of_name[self.sensor]
-        return (jnp.asarray(self.smoother.ext_q[e]),
-                jnp.asarray(self.smoother.ext_p[e]))
+        e = self.graph.ext_slot_of_name[self.sensor]
+        return (jnp.asarray(self.graph.ext_q[e]),
+                jnp.asarray(self.graph.ext_p[e]))
 
     def _camera_pose(self, q_wb, p_wb):
         q_bc, p_bc = self._camera_extrinsic()
@@ -98,6 +130,21 @@ class VisualOdometry:
         (visual_odometry.cpp:653)."""
         self.initialized = True
 
+    def _landmark_world_point(self, lm_id: int):
+        """World position of a landmark regardless of parameterization.
+        IDP: anchor camera pose ∘ (bearing/ρ)."""
+        val = self.graph.get_landmark(lm_id)
+        if lm_id not in self.idp_anchor:
+            return val  # Euclidean
+        anchor_stamp, bearing = self.idp_anchor[lm_id]
+        if anchor_stamp not in self.graph.slot_of_stamp:
+            return None
+        rho = max(float(val[0]), 1e-4)
+        st = self.graph.get_state(anchor_stamp)
+        q_wc, p_wc = self._camera_pose(st["q"], st["p"])
+        X_a = np.array([bearing[0], bearing[1], 1.0], np.float32) / rho
+        return np.asarray(lie.quat_rotate(q_wc, jnp.asarray(X_a)) + p_wc)
+
     # -- localization ------------------------------------------------------
     def _localize(self, meas: CameraMeasurement, q_seed_wb, p_seed_wb):
         """LocalizeFrame (:217): 2d-3d pairs vs the visual map → batched PnP
@@ -111,8 +158,11 @@ class VisualOdometry:
         for i, lm_id in enumerate(meas.ids):
             if n >= cap:
                 break
-            if self.smoother.has_landmark(int(lm_id)):
-                X[n] = self.smoother.get_landmark(int(lm_id))
+            if self.graph.has_landmark(int(lm_id)):
+                pt = self._landmark_world_point(int(lm_id))
+                if pt is None:
+                    continue
+                X[n] = pt
                 uv[n] = meas.pixels_undistorted[i]
                 valid[n] = True
                 n += 1
@@ -167,12 +217,20 @@ class VisualOdometry:
         sqrt_info = (w * np.eye(2)).astype(np.float32)
         intr = np.asarray(self.camera.intr4, np.float32)
 
+        idp = self.params.landmark_type == "IDP"
         for i, lm_id in enumerate(meas.ids):
             lm_id = int(lm_id)
             uv = meas.pixels_undistorted[i]
-            if self.smoother.has_landmark(lm_id):
-                txn.add_reprojection(meas.stamp, lm_id, uv, intr, sqrt_info,
-                                     sensor=self.sensor)
+            if self.graph.has_landmark(lm_id):
+                if idp and lm_id in self.idp_anchor:
+                    anchor_stamp, bearing = self.idp_anchor[lm_id]
+                    if anchor_stamp in self.graph.slot_of_stamp:
+                        txn.add_idp_reprojection(
+                            anchor_stamp, meas.stamp, lm_id, bearing, uv,
+                            intr, sqrt_info, sensor=self.sensor)
+                else:
+                    txn.add_reprojection(meas.stamp, lm_id, uv, intr,
+                                         sqrt_info, sensor=self.sensor)
                 continue
             # candidate new landmark: need an old-enough keyframe observation
             # still inside the optimization window (constraints must only
@@ -180,7 +238,7 @@ class VisualOdometry:
             track = self.tracks.get(lm_id, [])
             kf_obs = [(t, px) for t, px in track
                       if t in self.kf_pose
-                      and t in self.smoother.slot_of_stamp]
+                      and t in self.graph.slot_of_stamp]
             if not kf_obs:
                 continue
             t0, uv0 = kf_obs[0]
@@ -203,13 +261,36 @@ class VisualOdometry:
                 P.max_triangulation_reproj_px)
             if not (bool(gate) and bool(gate0)):
                 continue
-            txn.add_landmark(lm_id, np.asarray(X))
-            # observations from every keyframe that saw it + current frame
-            for t_obs, uv_obs in kf_obs:
-                txn.add_reprojection(t_obs, lm_id, uv_obs, intr, sqrt_info,
+            if idp:
+                # anchor at the first keyframe observation; ρ from the
+                # triangulated depth in the anchor camera frame
+                # (ProcessLandmarkIDP, visual_odometry.cpp:722-788)
+                X_a = lie.quat_rotate(lie.quat_conj(q0_wc),
+                                      X - jnp.asarray(p0_wc))
+                depth = float(X_a[2])
+                if depth < 0.1:
+                    continue
+                fx, fy, cx, cy = [float(v) for v in np.asarray(intr)]
+                bearing = np.asarray([(uv0[0] - cx) / fx, (uv0[1] - cy) / fy],
+                                     np.float32)
+                self.idp_anchor[lm_id] = (t0, bearing)
+                txn.add_idp_landmark(lm_id, 1.0 / depth)
+                for t_obs, uv_obs in kf_obs:
+                    if t_obs == t0:
+                        continue  # self-anchored observation: no information
+                    txn.add_idp_reprojection(t0, t_obs, lm_id, bearing,
+                                             uv_obs, intr, sqrt_info,
+                                             sensor=self.sensor)
+                txn.add_idp_reprojection(t0, meas.stamp, lm_id, bearing, uv,
+                                         intr, sqrt_info, sensor=self.sensor)
+            else:
+                txn.add_landmark(lm_id, np.asarray(X))
+                # observations from every keyframe that saw it + current frame
+                for t_obs, uv_obs in kf_obs:
+                    txn.add_reprojection(t_obs, lm_id, uv_obs, intr,
+                                         sqrt_info, sensor=self.sensor)
+                txn.add_reprojection(meas.stamp, lm_id, uv, intr, sqrt_info,
                                      sensor=self.sensor)
-            txn.add_reprojection(meas.stamp, lm_id, uv, intr, sqrt_info,
-                                 sensor=self.sensor)
 
     # -- main entry --------------------------------------------------------
     def process_measurements(self, meas: CameraMeasurement) -> bool:
@@ -223,7 +304,7 @@ class VisualOdometry:
         if len(self.tracks) > 4096:
             live = set(int(i) for i in meas.ids)
             self.tracks = {k: v for k, v in self.tracks.items()
-                           if k in live or self.smoother.has_landmark(k)}
+                           if k in live or self.graph.has_landmark(k)}
         if not self.initialized:
             return False
 
@@ -250,17 +331,49 @@ class VisualOdometry:
 
         # keyframe: state + factors + triggers
         txn = Transaction(stamp=meas.stamp)
-        if meas.stamp not in self.smoother.slot_of_stamp:
+        if meas.stamp not in self.graph.slot_of_stamp:
             txn.add_imu_state(meas.stamp, q_wb, p_wb, np.zeros(3))
         self.kf_pose[meas.stamp] = (q_wb, p_wb)
         self._extend_map(meas, txn)
+        prev_kf = self.keyframes[-1] if self.keyframes else None
         self.keyframes.append(meas.stamp)
         self.kf_meas[meas.stamp] = meas
-        self.smoother.send_transaction(txn)
+        if self.local_smoother is not None:
+            # standalone mode: full visual BA in the private graph, only a
+            # relative VO factor to the main graph
+            # (visual_odometry.cpp:330-342, CreateVisualOdometryFactor :984)
+            if not self.local_smoother.slot_of_stamp:
+                # gauge for the private graph: prior on its first keyframe
+                txn.add_abs_pose(meas.stamp, q_wb, p_wb,
+                                 1e2 * np.eye(6, dtype=np.float32))
+            self.local_smoother.send_transaction(txn)
+            self.local_smoother.run_once()
+            if (prev_kf is not None
+                    and prev_kf in self.local_smoother.slot_of_stamp
+                    and meas.stamp in self.local_smoother.slot_of_stamp):
+                a = self.local_smoother.get_state(prev_kf)
+                b = self.local_smoother.get_state(meas.stamp)
+                q_ai = lie.quat_conj(jnp.asarray(a["q"]))
+                dq = lie.quat_mul(q_ai, jnp.asarray(b["q"]))
+                dp = lie.quat_rotate(q_ai, jnp.asarray(b["p"] - a["p"]))
+                w = 1.0 / np.sqrt(self.params.standalone_rel_cov)
+                main_txn = Transaction(stamp=meas.stamp)
+                if prev_kf not in self.smoother.slot_of_stamp:
+                    main_txn.add_imu_state(prev_kf, a["q"], a["p"],
+                                           np.zeros(3))
+                if meas.stamp not in self.smoother.slot_of_stamp:
+                    main_txn.add_imu_state(meas.stamp, b["q"], b["p"],
+                                           np.zeros(3))
+                main_txn.add_relative_pose(
+                    prev_kf, meas.stamp, np.asarray(dq), np.asarray(dp),
+                    w * np.eye(6, dtype=np.float32))
+                self.smoother.send_transaction(main_txn)
+        else:
+            self.smoother.send_transaction(txn)
         if self.trigger_cb is not None:
             self.trigger_cb(meas.stamp)
         # bound host-side keyframe history to the smoother lag
-        horizon = meas.stamp - self.smoother.cfg.lag_duration
+        horizon = meas.stamp - self.graph.cfg.lag_duration
         while self.keyframes and self.keyframes[0] < horizon:
             t0 = self.keyframes.pop(0)
             self.kf_meas.pop(t0, None)

@@ -102,7 +102,9 @@ class LocalMapper:
             lidar_path=LidarPathInit(config.loam,
                                      q_bl=cal.q_baselink_lidar,
                                      p_bl=cal.p_baselink_lidar),
-            on_initialized=self._on_initialized)
+            on_initialized=self._on_initialized,
+            camera=cal.camera, q_bc=cal.q_baselink_cam,
+            p_bc=cal.p_baselink_cam)
         self.chunk_cb = chunk_cb
         self._pending_tick = False
 
@@ -194,9 +196,8 @@ class LocalMapper:
         if self.vo is None:
             return False
         if not self.initialized:
-            if self.cfg.init.mode == "FRAMEINIT":
-                # ignition from external poses happens via on_pose
-                return False
+            if self.cfg.init.mode == "VISUAL":
+                return self.init.add_camera_measurement(meas)
             return False
         kf = self.vo.process_measurements(meas)
         if kf:

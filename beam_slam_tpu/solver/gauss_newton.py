@@ -40,10 +40,14 @@ _DIAG_EPS = 1e-12
 
 
 class SolverOptions(NamedTuple):
-    """Static solve configuration (hashable → usable as a jit static arg).
+    """Solve configuration. Mirrors the solver_options block of the
+    reference configs (beam_slam_launch/config/lvio.yaml:7-17).
 
-    Mirrors the solver_options block of the reference configs
-    (beam_slam_launch/config/lvio.yaml:7-17).
+    ``max_iterations`` is a *runtime* limit (traced — changing it does NOT
+    recompile); the compiled LM scan always has ``scan_length`` steps, with
+    iterations beyond the limit inert. Keep ``scan_length`` at its default
+    so every solve of a given window shape shares one executable — each
+    distinct static configuration costs a full XLA compile.
     """
 
     max_iterations: int = 10
@@ -51,6 +55,7 @@ class SolverOptions(NamedTuple):
     initial_lambda: float = 1e-4
     min_lambda: float = 1e-12
     max_lambda: float = 1e8
+    scan_length: int = 32  # static compiled iteration capacity
 
 
 class SolveDiagnostics(NamedTuple):
@@ -200,7 +205,6 @@ def _solve_damped(H, g, free, lam, H_ll, g_l, W, lm_free):
     return delta, delta_l, ok
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
 def solve(
     window: WindowState,
     families: Tuple,
@@ -208,7 +212,18 @@ def solve(
     options: SolverOptions = SolverOptions(),
 ) -> Tuple[WindowState, SolveDiagnostics]:
     """Run LM on the window. ``families``/``losses`` are parallel tuples;
-    family *types* and capacities are static, their array contents traced."""
+    family *types* and capacities are static, their array contents traced.
+    ``options.max_iterations`` is passed as a traced scalar so different
+    iteration budgets share one compiled executable."""
+    n_iter = jnp.asarray(
+        min(options.max_iterations, options.scan_length), jnp.int32)
+    static = options._replace(max_iterations=0)
+    return _solve_impl(window, families, n_iter, losses, static)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _solve_impl(window, families, n_iter, losses,
+                options: SolverOptions):
     free_full = window.dense_free_mask()
     free = jnp.concatenate([free_full, jnp.zeros((1,), bool)])  # trash dof
     lm_free = window.landmarks.active & ~window.landmarks.held
@@ -216,7 +231,8 @@ def solve(
     init_cost = total_cost(window, families, losses)
 
     def step(carry, _):
-        win, lam, cost, done, iters = carry
+        win, lam, cost, done, iters, attempt = carry
+        active = ~done & (attempt < n_iter)
         H, g, H_ll, g_l, W, _ = assemble_normal_equations(win, families,
                                                           losses)
         delta, delta_l, ok = _solve_damped(H, g, free, lam, H_ll, g_l, W,
@@ -224,27 +240,27 @@ def solve(
         trial = win.retract_dense(delta[:-1])
         trial = trial.replace(landmarks=trial.landmarks.retract(delta_l))
         new_cost = total_cost(trial, families, losses)
-        accept = ok & (new_cost < cost) & ~done
+        accept = ok & (new_cost < cost) & active
         win = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, b, a), win, trial
         )
         rel_drop = (cost - new_cost) / jnp.maximum(cost, 1e-20)
         done = done | (accept & (rel_drop < options.function_tolerance))
         lam = jnp.where(
-            done, lam,
+            ~active | done, lam,
             jnp.where(accept, jnp.maximum(lam * 0.5, options.min_lambda),
                       jnp.minimum(lam * 4.0, options.max_lambda)),
         )
         cost = jnp.where(accept, new_cost, cost)
         iters = iters + accept.astype(jnp.int32)
-        return (win, lam, cost, done, iters), None
+        return (win, lam, cost, done, iters, attempt + 1), None
 
     dtype = window.imu.q.dtype
     lam0 = jnp.asarray(options.initial_lambda, dtype)
     carry0 = (window, lam0, init_cost, jnp.zeros((), bool),
-              jnp.zeros((), jnp.int32))
-    (window, lam, cost, done, iters), _ = jax.lax.scan(
-        step, carry0, None, length=options.max_iterations
+              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    (window, lam, cost, done, iters, _), _ = jax.lax.scan(
+        step, carry0, None, length=options.scan_length
     )
     diag = SolveDiagnostics(
         initial_cost=init_cost, final_cost=cost, iterations=iters,

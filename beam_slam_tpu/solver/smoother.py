@@ -111,6 +111,20 @@ class GravitySpec:
 
 
 @dataclasses.dataclass
+class IdpReprojectionSpec:
+    """Inverse-depth visual constraint (binary: anchor + measurement
+    keyframes; bs_constraints inversedepth_reprojection_functor.h)."""
+    anchor_stamp: Stamp
+    stamp: Stamp
+    lm_id: int
+    bearing: np.ndarray    # [2] anchor-frame (mx, my)
+    pixel: np.ndarray      # [2]
+    intr: np.ndarray       # [4]
+    sqrt_info: np.ndarray  # [2,2]
+    sensor: Optional[str] = None
+
+
+@dataclasses.dataclass
 class MotionSpec:
     """Constant-velocity kinematic factor (Unicycle3D motion model)."""
     stamp_i: Stamp
@@ -153,7 +167,13 @@ class Transaction:
     landmarks: List[LandmarkSpec] = dataclasses.field(default_factory=list)
     reprojections: List[ReprojectionSpec] = dataclasses.field(
         default_factory=list)
+    idp_reprojections: List[IdpReprojectionSpec] = dataclasses.field(
+        default_factory=list)
     motion: List[MotionSpec] = dataclasses.field(default_factory=list)
+    # removals (fuse transactions carry removed constraints too; used by the
+    # reference InertialOdometry's BreakupConstraint)
+    removed_imu_relative: List[Tuple[Stamp, Stamp]] = dataclasses.field(
+        default_factory=list)
 
     def add_imu_state(self, stamp, q, p, v, bg=None, ba=None):
         self.imu_states.append(ImuStateInit(
@@ -211,17 +231,35 @@ class Transaction:
             np.asarray(sqrt_info), sensor))
         return self
 
+    def add_idp_landmark(self, lm_id, inverse_depth):
+        """Inverse-depth landmark: ρ in component 0 of the landmark slot."""
+        self.landmarks.append(LandmarkSpec(
+            int(lm_id), np.asarray([inverse_depth, 0.0, 0.0], np.float64)))
+        return self
+
+    def add_idp_reprojection(self, anchor_stamp, stamp, lm_id, bearing,
+                             pixel, intr, sqrt_info, sensor=None):
+        self.idp_reprojections.append(IdpReprojectionSpec(
+            float(anchor_stamp), float(stamp), int(lm_id),
+            np.asarray(bearing), np.asarray(pixel), np.asarray(intr),
+            np.asarray(sqrt_info), sensor))
+        return self
+
     def add_constant_velocity(self, stamp_i, stamp_j, sqrt_info):
         self.motion.append(MotionSpec(
             float(stamp_i), float(stamp_j), float(stamp_j) - float(stamp_i),
             np.asarray(sqrt_info)))
         return self
 
+    def remove_imu_relative(self, stamp_i, stamp_j):
+        self.removed_imu_relative.append((float(stamp_i), float(stamp_j)))
+        return self
+
     def merge(self, other: "Transaction"):
         """fuse_core::Transaction::merge."""
         for f in ("imu_states", "imu_relative", "imu_priors", "rel_poses",
                   "abs_poses", "gravity", "landmarks", "reprojections",
-                  "motion"):
+                  "idp_reprojections", "motion", "removed_imu_relative"):
             getattr(self, f).extend(getattr(other, f))
         self.stamp = max(self.stamp, other.stamp)
         return self
@@ -297,6 +335,7 @@ class SmootherConfig:
     max_gravity_factors: int = 64
     max_reprojection_factors: int = 2048
     max_motion_factors: int = 64
+    max_idp_factors: int = 512
     max_marginal_factors: int = 16
     cauchy_loss_rel_pose: Optional[float] = None
     cauchy_loss_reprojection: Optional[float] = None
@@ -356,6 +395,9 @@ class FixedLagSmoother:
         self.arena_motion = _Arena(config.max_motion_factors, dict(
             dt=(), sqrt_info=(9, 9)))
         self.arena_motion.set_slot_width(2)
+        self.arena_idp = _Arena(config.max_idp_factors, dict(
+            bearing=(2,), pixel=(2,), intr=(4,), sqrt_info=(2, 2)))
+        self.arena_idp.set_slot_width(4)  # (anchor, meas, extrinsic, lm)
         M = fc.MARGINAL_MAX_BLOCKS
         self.arena_marg = _Arena(config.max_marginal_factors, dict(
             q_lin=(M, 4), p_lin=(M, 3), v_lin=(M, 3), bg_lin=(M, 3),
@@ -439,6 +481,16 @@ class FixedLagSmoother:
         return s
 
     def _apply(self, txn: Transaction):
+        # removals first (BreakupConstraint replaces a factor atomically)
+        for (t_i, t_j) in txn.removed_imu_relative:
+            if t_i not in self.slot_of_stamp or t_j not in self.slot_of_stamp:
+                continue
+            s_i = self.slot_of_stamp[t_i]
+            s_j = self.slot_of_stamp[t_j]
+            a = self.arena_imu
+            for i in a.active_indices():
+                if int(a.slots[i, 0]) == s_i and int(a.slots[i, 1]) == s_j:
+                    a.release(i)
         for st in txn.imu_states:
             s = self._slot_for(st.stamp, create=True)
             self.q[s] = st.q
@@ -504,6 +556,18 @@ class FixedLagSmoother:
             a.fields["pixel"][i] = f.pixel
             a.fields["intr"][i] = f.intr
             a.fields["sqrt_info"][i] = f.sqrt_info
+        # idp factors AFTER landmarks so same-transaction landmarks resolve
+        for f in txn.idp_reprojections:
+            i = self.arena_idp.alloc()
+            a = self.arena_idp
+            a.slots[i] = (self._slot_for(f.anchor_stamp),
+                          self._slot_for(f.stamp),
+                          self.ext_slot_of_name[f.sensor],
+                          self._lm_slot_for(f.lm_id))
+            a.fields["bearing"][i] = f.bearing
+            a.fields["pixel"][i] = f.pixel
+            a.fields["intr"][i] = f.intr
+            a.fields["sqrt_info"][i] = f.sqrt_info
 
     def _lm_slot_for(self, lm_id: int, create=False) -> int:
         if lm_id in self.slot_of_lm_id:
@@ -562,7 +626,7 @@ class FixedLagSmoother:
         for arena, imu_blocks in ((self.arena_imu, 2), (self.arena_prior, 1),
                                   (self.arena_rel, 2), (self.arena_abs, 1),
                                   (self.arena_grav, 1), (self.arena_reproj, 1),
-                                  (self.arena_motion, 2),
+                                  (self.arena_motion, 2), (self.arena_idp, 2),
                                   (self.arena_marg, fc.MARGINAL_MAX_BLOCKS)):
             for i in arena.active_indices():
                 if any(arena.slots[i, b] in stale_slots
@@ -573,6 +637,9 @@ class FixedLagSmoother:
         referenced = set(
             int(s) for s in
             self.arena_reproj.slots[self.arena_reproj.active_indices(), 2])
+        referenced |= set(
+            int(s) for s in
+            self.arena_idp.slots[self.arena_idp.active_indices(), 3])
         for s in list(np.nonzero(self.lm_active)[0]):
             if int(s) not in referenced:
                 lm_id = int(self.lm_id_of_slot[s])
@@ -618,7 +685,8 @@ class FixedLagSmoother:
         for fam_idx, (arena, n_imu) in enumerate((
                 (self.arena_imu, 2), (self.arena_prior, 1),
                 (self.arena_rel, 2), (self.arena_abs, 1),
-                (self.arena_grav, 1), (None, 0),  # reproj skipped
+                (self.arena_grav, 1), (None, 0),  # euc reproj skipped
+                (None, 0),                        # idp reproj skipped
                 (self.arena_motion, 2), (self.arena_marg,
                                          fc.MARGINAL_MAX_BLOCKS))):
             if arena is None:
@@ -762,6 +830,13 @@ class FixedLagSmoother:
             slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
             dt=jnp.asarray(a.fields["dt"]),
             sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
+        a = self.arena_idp
+        idp = fc.InverseDepthReprojectionFactors(
+            slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
+            bearing=jnp.asarray(a.fields["bearing"]),
+            pixel=jnp.asarray(a.fields["pixel"]),
+            intr=jnp.asarray(a.fields["intr"]),
+            sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
         a = self.arena_marg
         marg = fc.MarginalPriorFactors(
             slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
@@ -771,9 +846,10 @@ class FixedLagSmoother:
             bg_lin=jnp.asarray(a.fields["bg_lin"]),
             ba_lin=jnp.asarray(a.fields["ba_lin"]),
             A=jnp.asarray(a.fields["A"]), b=jnp.asarray(a.fields["b"]))
-        families = (rel, prior, rel_pose, abs_pose, grav, reproj, motion,
-                    marg)
+        families = (rel, prior, rel_pose, abs_pose, grav, reproj, idp,
+                    motion, marg)
         losses = (None, None, self.cfg.cauchy_loss_rel_pose, None, None,
+                  self.cfg.cauchy_loss_reprojection,
                   self.cfg.cauchy_loss_reprojection, None, None)
         return window, families, losses
 

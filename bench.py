@@ -34,7 +34,7 @@ def main():
     build = jax.jit(
         lambda k: synthetic.build_lvio_window(k, n_kf=40, kf_dt=0.25)[:2])
     window, families = jax.block_until_ready(build(key))
-    options = gn.SolverOptions(max_iterations=10)
+    options = gn.SolverOptions(max_iterations=10, scan_length=10)
 
     # Steady-state measurement: chain R full solves inside ONE jitted call
     # (each consumes the previous output window, like successive smoother

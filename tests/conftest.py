@@ -17,6 +17,26 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Prevent the remote-TPU ("axon") PJRT plugin from being loaded into xdist
+# WORKER interpreters: sitecustomize only registers it when
+# PALLAS_AXON_POOL_IPS is set, workers inherit this (master) process's env,
+# and the foreign plugin in-process correlates with XLA:CPU compiler
+# segfaults late in long runs. The master process itself already loaded it
+# (sitecustomize ran before us) — harmless, the master runs no tests.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+
+# XLA:CPU's compiler recurses deeply on the big solver graphs and overflows
+# the default 8 MB thread stack (observed: segfaults inside libgcc's
+# unwinder, killing pytest workers ~40 tests in). glibc sizes new threads'
+# stacks from RLIMIT_STACK, so raise it before any compile thread spawns;
+# xdist workers inherit the limit.
+import resource  # noqa: E402
+
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+_want = 512 * 1024 * 1024
+if _hard == resource.RLIM_INFINITY or _hard >= _want:
+    resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
 
 import jax  # noqa: E402
 
@@ -36,6 +56,25 @@ import pytest  # noqa: E402
 def pytest_configure(config):
     assert jax.devices()[0].platform == "cpu", jax.devices()
     assert jax.device_count() == 8, jax.devices()
+
+
+_crash_retries = {}
+
+
+def pytest_handlecrashitem(crashitem, report, sched):
+    """Reschedule tests that died with a crashed xdist worker.
+
+    XLA:CPU's compiler sporadically segfaults (libgcc unwinder) in
+    long-lived processes that have compiled many distinct kernels; every
+    affected test passes in a fresh process. xdist restarts the worker
+    (--max-worker-restart) and this hook re-queues the victim test up to
+    twice instead of reporting a spurious failure.
+    """
+    n = _crash_retries.get(crashitem, 0)
+    if n < 2:
+        _crash_retries[crashitem] = n + 1
+        sched.mark_test_pending(crashitem)
+        report.outcome = "rescheduled"
 
 
 @pytest.fixture

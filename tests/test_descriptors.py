@@ -1,0 +1,69 @@
+"""Binary descriptors + image database tests."""
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+import jax.numpy as jnp
+
+from beam_slam_tpu.vision import descriptors as dsc
+from beam_slam_tpu.vision import detector as det
+from beam_slam_tpu.vision.image_database import ImageDatabase
+
+
+def _textured(rng, H=200, W=260, n=120, seed_shift=0):
+    img = np.zeros((H, W), np.float32)
+    ys = rng.uniform(16, H - 16, n)
+    xs = rng.uniform(16, W - 16, n)
+    amps = rng.uniform(80, 220, n)
+    yy, xx = np.mgrid[0:H, 0:W]
+    for y, x, a in zip(ys, xs, amps):
+        img += a * np.exp(-((yy - y) ** 2 + (xx - x) ** 2) / (2 * 2.2 ** 2))
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+def test_descriptor_matching_under_shift(rng):
+    img1 = _textured(rng)
+    img2 = ndimage.shift(img1, (4.0, -6.0), order=1, mode="nearest")
+    xy1, s1, v1 = det.detect(jnp.asarray(img1), det.FastConfig(threshold=10,
+                                                               cell_size=24))
+    xy2 = xy1 + jnp.asarray([-6.0, 4.0])  # features move by (-dx? ) shift
+    d1, ok1 = dsc.compute(jnp.asarray(img1), xy1, v1)
+    d2, ok2 = dsc.compute(jnp.asarray(img2), xy2, v1)
+    idx, good = dsc.match(d1, ok1, d2, ok2)
+    good = np.asarray(good)
+    assert good.sum() >= 10
+    # matches must be the identity correspondence
+    assert (np.asarray(idx)[good] == np.nonzero(good)[0]).mean() > 0.9
+
+
+def test_descriptor_distance_separates_random(rng):
+    img = _textured(rng)
+    xy, s, v = det.detect(jnp.asarray(img), det.FastConfig(threshold=10,
+                                                           cell_size=24))
+    d, ok = dsc.compute(jnp.asarray(img), xy, v)
+    sel = np.nonzero(np.asarray(ok))[0][:20]
+    D = np.asarray(dsc.hamming_matrix(d[sel], d[sel]))
+    assert np.all(np.diag(D) == 0)
+    off = D[~np.eye(len(sel), dtype=bool)]
+    # distinct smooth-blob patches still differ in a solid fraction of bits
+    assert np.median(off) > 30, np.median(off)
+
+
+def test_image_database_recognizes_revisit(rng):
+    db = ImageDatabase(n_words=128)
+    imgs = [_textured(np.random.default_rng(s)) for s in (1, 2, 3)]
+    descs = []
+    for i, img in enumerate(imgs):
+        xy, s, v = det.detect(jnp.asarray(img),
+                              det.FastConfig(threshold=10, cell_size=24))
+        d, ok = dsc.compute(jnp.asarray(img), xy, v)
+        descs.append((d, ok))
+        db.add_frame(float(i), d, ok)
+    # query with a slightly shifted re-observation of scene 0
+    img_q = ndimage.shift(imgs[0], (2.0, 1.0), order=1, mode="nearest")
+    xy, s, v = det.detect(jnp.asarray(img_q),
+                          det.FastConfig(threshold=10, cell_size=24))
+    dq, okq = dsc.compute(jnp.asarray(img_q), xy, v)
+    res = db.query(dq, okq, top_k=1, exclude_recent=0)
+    assert res and res[0][0] == 0.0, res

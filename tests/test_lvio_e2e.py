@@ -63,9 +63,9 @@ def test_lvio_pipeline():
                     rng.uniform(-2.2, 2.2, n_lm)], axis=1).astype(np.float32)
 
     cfg = LocalMapperConfig(
-        mode="LVIO", lag_duration=5.0, max_states=48, max_landmarks=256,
+        mode="LVIO", lag_duration=3.0, max_states=32, max_landmarks=256,
         max_reprojection_factors=4096, max_iterations=8,
-        init=InitParams(mode="LIDAR", min_trajectory_length_m=2.0,
+        init=InitParams(mode="LIDAR", min_trajectory_length_m=1.5,
                         min_observability=0.1),
         calibration=CalibrationConfig(
             camera=CAM, q_baselink_cam=Q_BC, p_baselink_cam=P_BC,

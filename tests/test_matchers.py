@@ -36,6 +36,8 @@ def _src_from(cloud_pts, cloud_valid):
     # horizontal stripes on vertical walls) — wider vertical tolerance
     (matchers.icp_point_to_point, 0.03, 0.15),
     (matchers.gicp_point_to_plane, 0.03, 0.03),
+    # NDT voxel Gaussians are coarse (1 m cells) — decimeter accuracy
+    (matchers.ndt_voxel_gaussian, 0.15, 0.15),
 ])
 def test_matcher_recovers_pose(cloud, fn, tol_xy, tol_z):
     tgt, tgt_valid = cloud

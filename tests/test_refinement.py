@@ -88,6 +88,38 @@ def test_submap_refinement_sharded_over_mesh(rng):
             np.testing.assert_allclose(kf_a.p, kf_b.p, atol=1e-4)
 
 
+def test_batch_optimization_closes_loop(rng):
+    """Out-and-back keyframe trajectory with odometric drift: the batch
+    stage must find the ScanContext loop, keep it past outlier rejection,
+    and pull the return leg back toward truth."""
+    from beam_slam_tpu.global_mapping.global_map import (GlobalMap,
+                                                         GlobalMapParams)
+    from beam_slam_tpu.global_mapping.submap import Submap
+    gm = GlobalMap(GlobalMapParams(submap_size_m=100.0, loop_closure=False))
+    sm = Submap(0.0, np.array([1, 0, 0, 0], np.float32),
+                np.zeros(3, np.float32))
+    # out along x and back; drift grows on the way back
+    xs = [0.0, 1.5, 3.0, 4.5, 4.5, 3.0, 1.5, 0.0]
+    ys = [0.0, 0.0, 0.0, 0.0, 1.5, 1.5, 1.5, 1.5]
+    drift = np.linspace(0, 0.5, len(xs)).astype(np.float32)
+    truth = []
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        p_true = np.array([x, y, 0.0], np.float32)
+        p_odom = p_true + np.array([0.0, drift[i], 0.0], np.float32)
+        fc = features_from(p_true)  # scans see the truth
+        sm.add_lidar_keyframe(float(i * 3), np.array([1, 0, 0, 0]),
+                              p_odom, fc)
+        truth.append(p_true)
+    gm.submaps.append(sm)
+
+    stats = refinement.run_batch_optimization(
+        gm, refinement.BatchOptimizationParams(loop_min_separation_s=8.0))
+    assert stats["loops_kept"] >= 1, stats
+    errs = [np.linalg.norm(kf.p - truth[i])
+            for i, kf in enumerate(sm.lidar_keyframes)]
+    assert errs[-1] < 0.25, (errs, stats)   # drift was 0.5 at the end
+
+
 def test_refinement_cli_roundtrip(tmp_path, rng):
     gm, _ = build_noisy_map(rng, n_submaps=2, kf_per_submap=3)
     in_dir = str(tmp_path / "in")

@@ -75,7 +75,7 @@ def test_replay_drives_lio_mapper(tmp_path):
                 scan_i += 1
 
     cfg = LocalMapperConfig(
-        mode="LIO", lag_duration=5.0, max_states=48,
+        mode="LIO", lag_duration=5.0, max_states=32,
         init=InitParams(mode="LIDAR", min_trajectory_length_m=1.5,
                         min_observability=0.1))
     mapper = LocalMapper(cfg)

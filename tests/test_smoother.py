@@ -121,8 +121,9 @@ def test_solver_reuses_compiled_step():
         t0 = time.perf_counter()
         sm.run_once()
         durs.append(time.perf_counter() - t0)
-    # well under one second ⇒ no per-tick recompilation happened
-    assert min(durs) < 0.25, durs
+    # a recompile costs tens of seconds; ticks stay fast even under the
+    # 4-way CPU contention of the xdist suite
+    assert min(durs) < 1.0, durs
 
 
 def test_reset_protocol():

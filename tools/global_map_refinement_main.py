@@ -31,6 +31,7 @@ def main(argv=None):
     ap.add_argument("--run_submap_refinement", action="store_true")
     ap.add_argument("--run_submap_alignment", action="store_true")
     ap.add_argument("--run_posegraph_optimization", action="store_true")
+    ap.add_argument("--run_batch_optimization", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
     args = ap.parse_args(argv)
@@ -49,7 +50,8 @@ def main(argv=None):
     mesh = sharded.make_mesh() if jax.device_count() > 1 else None
 
     run_all = not (args.run_submap_refinement or args.run_submap_alignment
-                   or args.run_posegraph_optimization)
+                   or args.run_posegraph_optimization
+                   or args.run_batch_optimization)
     stats = {}
     t0 = time.perf_counter()
     if run_all or args.run_submap_refinement:
@@ -62,6 +64,9 @@ def main(argv=None):
     if run_all or args.run_posegraph_optimization:
         stats["loop_closures"] = refinement.run_pose_graph_optimization(gm)
         print("pose graph optimization done:", stats["loop_closures"])
+    if run_all or args.run_batch_optimization:
+        stats["batch"] = refinement.run_batch_optimization(gm)
+        print("batch optimization done:", stats["batch"])
     stats["wall_s"] = time.perf_counter() - t0
 
     gm.save(args.output_path)
