@@ -56,6 +56,13 @@ class SolverOptions(NamedTuple):
     min_lambda: float = 1e-12
     max_lambda: float = 1e8
     scan_length: int = 32  # static compiled iteration capacity
+    # Normal-equation assembly kernel: "scatter" (per-factor scatter-adds;
+    # best at small scale / XLA:CPU), "dense" (one-hot expansion to dense
+    # Jacobian rows + one JᵀJ MXU matmul; the TPU path — scatters serialize
+    # on TPU while matmuls hit the systolic array), or "auto" (dense on
+    # tpu-like backends, scatter on cpu). Both produce identical normal
+    # equations (tests/test_solver.py asserts agreement).
+    assembly: str = "auto"
 
 
 class SolveDiagnostics(NamedTuple):
@@ -129,6 +136,120 @@ def assemble_normal_equations(
                 jnp.einsum("fri,frj->fij", J, J_lm)
             )
     return H, g, H_ll, g_l, W, cost
+
+
+def assemble_normal_equations_dense(
+    window: WindowState,
+    families: Sequence,
+    losses: Tuple[Optional[float], ...],
+):
+    """Matmul-only assembly — the TPU path.
+
+    Each factor's local Jacobian blocks are expanded to a dense row over the
+    window's full dof via one-hot slot→column einsums (pure MXU work, no
+    scatters), all families' rows are stacked into one Jacobian J_all
+    [N_rows, D+1] (plus a landmark-column matrix Jlm_all [N_rows, L·3]), and
+    the normal equations come from single large matmuls:
+
+        H = J_allᵀ J_all,  g = −J_allᵀ r,  W = J_allᵀ Jlm_all,
+
+    with the per-landmark 3×3 blocks H_ll and g_l accumulated by small
+    one-hot einsums. Identical output contract to
+    :func:`assemble_normal_equations`.
+    """
+    from beam_slam_tpu.core import factors as fc
+    from beam_slam_tpu.core.window import IMU_DOF, POSE_DOF
+
+    D = window.num_dense_dof
+    K = window.imu.capacity
+    E = window.extrinsics.capacity
+    L = window.landmarks.capacity
+    dtype = window.imu.q.dtype
+    H_ll = jnp.zeros((L, 3, 3), dtype)
+    g_l = jnp.zeros((L, 3), dtype)
+    cost = jnp.zeros((), dtype)
+
+    J_rows, r_rows, Jlm_rows = [], [], []
+    for fam, loss in zip(families, losses):
+        r, J, _, _, lm_slot, J_lm = fam.linearize(window)
+        F, R = r.shape
+        s = jnp.sum(r * r, axis=-1)
+        w, rho = robust_weight(s, loss)
+        cost = cost + 0.5 * jnp.sum(rho)
+        sw = jnp.sqrt(w)
+        r = r * sw[:, None]
+        J = J * sw[:, None, None]
+
+        # expand local dense blocks into [F, R, K*15] and [F, R, E*6] regions
+        blocks = [k for k in type(fam).BLOCKS if k != fc.BLOCK_LANDMARK]
+        J_imu = None
+        J_ext = None
+        o = 0
+        for b, kind in enumerate(blocks):
+            d = IMU_DOF if kind == fc.BLOCK_IMU else POSE_DOF
+            Jb = J[:, :, o:o + d]
+            o += d
+            sl = fam.slots[:, b]
+            if kind == fc.BLOCK_IMU:
+                oh = jax.nn.one_hot(sl, K, dtype=dtype)
+                part = jnp.einsum("frd,fk->frkd", Jb, oh)
+                J_imu = part if J_imu is None else J_imu + part
+            else:
+                oh = jax.nn.one_hot(sl, E, dtype=dtype)
+                part = jnp.einsum("frd,fk->frkd", Jb, oh)
+                J_ext = part if J_ext is None else J_ext + part
+        row = jnp.concatenate([
+            (J_imu.reshape(F, R, K * IMU_DOF) if J_imu is not None
+             else jnp.zeros((F, R, K * IMU_DOF), dtype)),
+            (J_ext.reshape(F, R, E * POSE_DOF) if J_ext is not None
+             else jnp.zeros((F, R, E * POSE_DOF), dtype)),
+        ], axis=-1)
+        J_rows.append(row.reshape(F * R, D))
+        r_rows.append(r.reshape(F * R))
+
+        if lm_slot is not None:
+            J_lm = J_lm * sw[:, None, None]
+            oh_lm = jax.nn.one_hot(lm_slot, L, dtype=dtype)  # [F, L]
+            # Pose-landmark coupling without materializing [F,R,L·3]:
+            # contract the residual axis per factor first (each factor
+            # touches exactly ONE landmark), then one small ohᵀ matmul.
+            Cr = jnp.einsum("frd,frk->fdk", row.reshape(F, R, D), J_lm)
+            W_fam = jnp.einsum("lf,fdk->dlk", oh_lm.T,
+                               Cr).reshape(D, L * LANDMARK_DOF)
+            Jlm_rows.append(W_fam)
+            Hll_f = jnp.einsum("fri,frj->fij", J_lm, J_lm)
+            H_ll = H_ll + jnp.einsum("lf,fij->lij", oh_lm.T, Hll_f)
+            gl_f = jnp.einsum("fri,fr->fi", J_lm, r)
+            g_l = g_l - jnp.einsum("lf,fi->li", oh_lm.T, gl_f)
+
+    J_all = jnp.concatenate(J_rows, axis=0)
+    r_all = jnp.concatenate(r_rows, axis=0)
+    H_d = J_all.T @ J_all
+    g_d = -(J_all.T @ r_all)
+
+    W_parts = [p for p in Jlm_rows if p is not None]
+    if W_parts:
+        W_d = sum(W_parts)
+    else:
+        W_d = jnp.zeros((D, L * LANDMARK_DOF), dtype)
+
+    # pad with the trailing "trash" dof to match the scatter path's contract
+    H = jnp.zeros((D + 1, D + 1), dtype).at[:D, :D].set(H_d)
+    g = jnp.zeros((D + 1,), dtype).at[:D].set(g_d)
+    W = jnp.zeros((D + 1, L * LANDMARK_DOF), dtype).at[:D, :].set(W_d)
+    return H, g, H_ll, g_l, W, cost
+
+
+def _resolve_assembly(mode: str) -> str:
+    if mode != "auto":
+        return mode
+    return "scatter" if jax.default_backend() == "cpu" else "dense"
+
+
+def _assemble(window, families, losses, mode: str):
+    if _resolve_assembly(mode) == "dense":
+        return assemble_normal_equations_dense(window, families, losses)
+    return assemble_normal_equations(window, families, losses)
 
 
 # jitted assembly entry point for host callers (e.g. exact marginalization) —
@@ -228,21 +349,32 @@ def _solve_impl(window, families, n_iter, losses,
     free = jnp.concatenate([free_full, jnp.zeros((1,), bool)])  # trash dof
     lm_free = window.landmarks.active & ~window.landmarks.held
 
-    init_cost = total_cost(window, families, losses)
+    def assemble(win):
+        return _assemble(win, families, losses, options.assembly)
+
+    # One assembly per iteration: iteration k solves the carried normal
+    # equations, retracts a trial, and assembles AT THE TRIAL — that single
+    # pass yields both the trial cost (accept/reject decision) and, on
+    # accept, the next iteration's normal equations. No separate
+    # residual-only pass (it cost ~as much as assembly on TPU: the factor
+    # math is small-op VPU work, the Jᵀ J matmuls are nearly free on MXU).
+    H0, g0, H_ll0, g_l0, W0, init_cost = assemble(window)
 
     def step(carry, _):
-        win, lam, cost, done, iters, attempt = carry
+        win, (H, g, H_ll, g_l, W), lam, cost, done, iters, attempt = carry
         active = ~done & (attempt < n_iter)
-        H, g, H_ll, g_l, W, _ = assemble_normal_equations(win, families,
-                                                          losses)
         delta, delta_l, ok = _solve_damped(H, g, free, lam, H_ll, g_l, W,
                                            lm_free)
         trial = win.retract_dense(delta[:-1])
         trial = trial.replace(landmarks=trial.landmarks.retract(delta_l))
-        new_cost = total_cost(trial, families, losses)
+        H_t, g_t, H_ll_t, g_l_t, W_t, new_cost = assemble(trial)
         accept = ok & (new_cost < cost) & active
         win = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, b, a), win, trial
+        )
+        eqs = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, b, a),
+            (H, g, H_ll, g_l, W), (H_t, g_t, H_ll_t, g_l_t, W_t)
         )
         rel_drop = (cost - new_cost) / jnp.maximum(cost, 1e-20)
         done = done | (accept & (rel_drop < options.function_tolerance))
@@ -253,13 +385,14 @@ def _solve_impl(window, families, n_iter, losses,
         )
         cost = jnp.where(accept, new_cost, cost)
         iters = iters + accept.astype(jnp.int32)
-        return (win, lam, cost, done, iters, attempt + 1), None
+        return (win, eqs, lam, cost, done, iters, attempt + 1), None
 
     dtype = window.imu.q.dtype
     lam0 = jnp.asarray(options.initial_lambda, dtype)
-    carry0 = (window, lam0, init_cost, jnp.zeros((), bool),
-              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    (window, lam, cost, done, iters, _), _ = jax.lax.scan(
+    carry0 = (window, (H0, g0, H_ll0, g_l0, W0), lam0, init_cost,
+              jnp.zeros((), bool), jnp.zeros((), jnp.int32),
+              jnp.zeros((), jnp.int32))
+    (window, _, lam, cost, done, iters, _), _ = jax.lax.scan(
         step, carry0, None, length=options.scan_length
     )
     diag = SolveDiagnostics(

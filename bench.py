@@ -1,17 +1,24 @@
 #!/usr/bin/env python
-"""Flagship benchmark: LVIO sliding-window bundle-adjustment solve time.
+"""Flagship benchmark: full LVIO visual-inertial bundle-adjustment cycle.
 
-Baseline: the reference runs its LVIO fixed-lag smoother with a max Ceres
-solver budget of 0.05 s per cycle on an 8-thread CPU
-(beam_slam_launch/config/lvio.yaml:13-14 max_solver_time_in_seconds: 0.05;
-see BASELINE.md). We measure the full LM solve (10 iterations) of an
-LVIO-shaped window — 40 IMU states over a 10 s lag, preintegrated IMU chain +
-lidar relative-pose factors with extrinsic + window-start prior — on one TPU
-chip, steady-state (compiled).
+The reference's headline claim is "real time, full visual-inertial bundle
+adjustment" (/root/reference/README.md:46) under a 0.05 s per-cycle Ceres
+budget on an 8-thread CPU (beam_slam_launch/config/lvio.yaml:13-14
+max_solver_time_in_seconds: 0.05; see BASELINE.md). We measure the full LM
+solve (10 iterations) of a window whose factor census matches an actual LVIO
+tick at the reference envelope (lvio.yaml:3 lag 10 s, ~4 Hz keyframes):
+
+  40 IMU states x 15 dof, 39 preintegrated IMU factors (200 Hz chain),
+  39 lidar relative-pose factors with optimizable extrinsic (Cauchy loss),
+  256 Euclidean landmarks x 8 observations = 2048 reprojection factors,
+  64 inverse-depth landmarks x 7 = 448 IDP factors (Cauchy loss),
+  landmarks Schur-eliminated on chip, window-start prior.
+
+Steady-state (compiled), median over repeats, on one TPU chip.
 
 Prints one JSON line:
-  {"metric": "lvio_window_solve_ms", "value": ..., "unit": "ms",
-   "vs_baseline": <50ms / value>}
+  {"metric": "lvio_vi_ba_cycle_ms", "value": ..., "unit": "ms",
+   "vs_baseline": <50ms / value>, "extra": {stage breakdown, census}}
 """
 
 import json
@@ -22,25 +29,55 @@ import jax
 import jax.numpy as jnp
 
 
+N_KF = 40
+KF_DT = 0.25
+N_LM = 256
+OBS_PER_LM = 8
+N_IDP = 64
+
+
+def _median_ms(fn, perturb, *args, n_rep=8, inner=16):
+    """Median per-call ms of fn, amortizing host->device dispatch by chaining
+    ``inner`` calls inside one jitted lax.scan. ``perturb(args, acc)`` must
+    make the inputs depend on the loop carry (an inert +0.0*acc is enough) so
+    XLA cannot hoist fn out of the scan as loop-invariant."""
+
+    @jax.jit
+    def chained(*a):
+        def body(acc, _):
+            out = fn(*perturb(a, acc))
+            first = jax.tree_util.tree_leaves(out)[0]
+            return acc + 0.0 * jnp.sum(first.astype(jnp.float32)), None
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=inner)
+        return acc
+
+    jax.block_until_ready(chained(*args))  # compile + warm
+    times = []
+    for _ in range(n_rep):
+        t0 = time.perf_counter()
+        out = chained(*args)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / inner)
+    times.sort()
+    return 1e3 * times[len(times) // 2]
+
+
 def main():
     from beam_slam_tpu.solver import gauss_newton as gn
     from beam_slam_tpu.utils import synthetic
 
-    # LVIO envelope: 10 s lag, ~4 Hz keyframes → 40 states (BASELINE.md).
-    # The whole problem build is jitted: eager per-op dispatch is pathologically
-    # slow through remote-TPU tunnels, and the build is pure jnp anyway.
     key = jax.random.PRNGKey(0)
-    losses = (None, None, 1.0)
-    build = jax.jit(
-        lambda k: synthetic.build_lvio_window(k, n_kf=40, kf_dt=0.25)[:2])
+    losses = (None, None, 1.0, 2.0, 2.0)
+    build = jax.jit(lambda k: synthetic.build_lvio_window(
+        k, n_kf=N_KF, kf_dt=KF_DT, with_vision=True, n_landmarks=N_LM,
+        obs_per_lm=OBS_PER_LM, n_idp=N_IDP)[:2])
     window, families = jax.block_until_ready(build(key))
     options = gn.SolverOptions(max_iterations=10, scan_length=10)
 
-    # Steady-state measurement: chain R full solves inside ONE jitted call
-    # (each consumes the previous output window, like successive smoother
-    # ticks) so the per-call host→device dispatch overhead — ~30 ms through
-    # the remote-TPU tunnel, absent in production co-located serving — is
-    # amortized out of the per-cycle figure.
+    # ---- headline: full LM cycle, amortized over R chained solves.
+    # Each consumes the previous output window (like successive smoother
+    # ticks) so the per-call host->device dispatch overhead — ~30 ms through
+    # the remote-TPU tunnel, absent in co-located serving — is amortized out.
     R = 16
 
     @jax.jit
@@ -50,25 +87,64 @@ def main():
             return out, diag.final_cost
         return jax.lax.scan(body, win, None, length=R)
 
-    out, costs = chained(window)
-    jax.block_until_ready(out)  # compile + warm up
-
-    n_rep = 8
+    out, costs = jax.block_until_ready(chained(window))
+    assert float(costs[-1]) < float(costs[0]) * 10, "solver diverged"
     times = []
-    for _ in range(n_rep):
+    for _ in range(8):
         t0 = time.perf_counter()
         out, costs = chained(window)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     times.sort()
-    median_ms = 1e3 * times[len(times) // 2] / R
+    cycle_ms = 1e3 * times[len(times) // 2] / R
+
+    # ---- stage breakdown (each stage chained in its own jitted scan)
+    def perturb_window(a, acc):
+        w = a[0]
+        return (w.replace(imu=w.imu.replace(p=w.imu.p + 0.0 * acc)),) + a[1:]
+
+    def perturb_first(a, acc):
+        return (a[0] + 0.0 * acc,) + a[1:]
+
+    assemble = lambda w: gn._assemble(w, families, losses, "auto")
+    H, g, H_ll, g_l, W, _ = jax.block_until_ready(jax.jit(assemble)(window))
+    assemble_ms = _median_ms(assemble, perturb_window, window)
+
+    free = jnp.concatenate([window.dense_free_mask(),
+                            jnp.zeros((1,), bool)])
+    lm_free = window.landmarks.active & ~window.landmarks.held
+    schur = lambda H, g, H_ll, g_l, W: gn._solve_damped(
+        H, g, free, jnp.asarray(1e-4, H.dtype), H_ll, g_l, W, lm_free)
+    schur_ms = _median_ms(schur, perturb_first, H, g, H_ll, g_l, W)
+    cost_fn = lambda w: gn.total_cost(w, families, losses)
+    cost_ms = _median_ms(cost_fn, perturb_window, window)
 
     baseline_ms = 50.0  # reference per-cycle solver budget (lvio.yaml:14)
+    # cycles/s the compiled solve sustains; the reference optimizer must
+    # complete 1/0.07 ~= 14.3 cycles/s to keep up with a 20 Hz camera.
+    cycles_per_s = 1e3 / cycle_ms
     print(json.dumps({
-        "metric": "lvio_window_solve_ms",
-        "value": round(median_ms, 3),
+        "metric": "lvio_vi_ba_cycle_ms",
+        "value": round(cycle_ms, 3),
         "unit": "ms",
-        "vs_baseline": round(baseline_ms / median_ms, 3),
+        "vs_baseline": round(baseline_ms / cycle_ms, 3),
+        "extra": {
+            "n_states": N_KF,
+            "n_landmarks": N_LM + N_IDP,
+            "n_reprojection_factors": N_LM * OBS_PER_LM,
+            "n_idp_factors": N_IDP * (OBS_PER_LM - 1),
+            "n_imu_factors": N_KF - 1,
+            "n_lidar_factors": N_KF - 1,
+            "lm_iterations": 10,
+            # standalone per-stage medians (each stage in its own jitted
+            # scan); they carry per-step overhead the fused solve doesn't,
+            # so they bound — not sum to — the cycle time
+            "assemble_standalone_ms": round(assemble_ms, 3),
+            "schur_solve_standalone_ms": round(schur_ms, 3),
+            "residual_pass_standalone_ms": round(cost_ms, 3),
+            "cycles_per_s": round(cycles_per_s, 1),
+            "camera_fps_sustained": round(20.0 * cycles_per_s / 14.3, 1),
+        },
     }))
     return 0
 

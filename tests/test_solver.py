@@ -257,3 +257,37 @@ def test_gravity_alignment_factor_levels_roll_pitch():
                                      jnp.asarray([0.0, 0.0, -1.0])))
     # roll/pitch aligned: world gravity direction ≈ [0,0,-1]
     np.testing.assert_allclose(g_w[:2], 0.0, atol=1e-4)
+
+
+def test_dense_assembly_matches_scatter():
+    """The TPU matmul assembly path (one-hot expansion + JtJ) must produce
+    the same normal equations as the scatter path, on a full VI window
+    (IMU chain + lidar rel-pose + reprojection + IDP families)."""
+    import jax
+
+    from beam_slam_tpu.utils import synthetic
+
+    build = jax.jit(lambda k: synthetic.build_lvio_window(
+        k, n_kf=8, kf_dt=0.25, rate_hz=50.0, with_vision=True,
+        n_landmarks=16, obs_per_lm=4, n_idp=4)[:2])
+    window, families = jax.block_until_ready(build(jax.random.PRNGKey(3)))
+    losses = (None, None, 1.0, 2.0, 2.0)
+    a_sc = jax.jit(lambda w: gn.assemble_normal_equations(
+        w, families, losses))(window)
+    a_de = jax.jit(lambda w: gn.assemble_normal_equations_dense(
+        w, families, losses))(window)
+    for name, x, y in zip(("H", "g", "H_ll", "g_l", "W", "cost"), a_sc, a_de):
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        scale = max(1.0, np.abs(x).max())
+        assert np.abs(x - y).max() / scale < 5e-3, name
+
+    # end-to-end: LM solve with the dense path converges to the same window
+    opts_sc = gn.SolverOptions(max_iterations=8, scan_length=8,
+                               assembly="scatter")
+    opts_de = gn.SolverOptions(max_iterations=8, scan_length=8,
+                               assembly="dense")
+    out_sc, _ = gn.solve(window, families, losses, opts_sc)
+    out_de, _ = gn.solve(window, families, losses, opts_de)
+    np.testing.assert_allclose(np.asarray(out_sc.imu.p),
+                               np.asarray(out_de.imu.p), atol=1e-3)
