@@ -407,7 +407,7 @@ class AbsolutePoseFactors(FactorBatch):
         return A @ jnp.concatenate([res_q, p - p0])
 
 
-MARGINAL_MAX_BLOCKS = 4
+MARGINAL_MAX_BLOCKS = 8
 
 
 class MarginalPriorFactors(FactorBatch):
@@ -415,6 +415,9 @@ class MarginalPriorFactors(FactorBatch):
     states — the product of *exact* marginalization
     (fuse_constraints::marginalizeVariables, used by the reference smoother
     when pseudo_marginalization is off, fixed_lag_smoother.cpp:269-272).
+    Eight blocks cover the connectivity produced by marginalizing a window
+    step (stale states + the fresh frames coupled through their eliminated
+    landmarks); wider connectivity falls back to pseudo-marginalization.
 
     Residual: r(x) = A · d(x) + b, where d stacks the 15-dof tangents of each
     block at its stored linearization point:

@@ -342,6 +342,62 @@ def solve(
     return _solve_impl(window, families, n_iter, losses, static)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def marginal_pose_covariance(window, families, losses,
+                             slots: jnp.ndarray) -> jnp.ndarray:
+    """Marginal 6-dof pose covariance blocks for the requested IMU slots.
+
+    The reference recovers localization covariances for the entropy-based
+    validation gate (bs_models/include/bs_models/vision/
+    vo_localization_validation.h:32-63, bs_common/utils.h:79
+    ShannonEntropyFromPoseCovariance). Here: assemble the (landmark-Schur-
+    reduced) normal equations at the current estimate, Cholesky-factor once
+    (reusing the _solve_damped conditioning: Jacobi equilibration, held/
+    inactive dof pinned), and back-solve only the requested columns.
+
+    slots: [S] int32 IMU slots. Returns [S, 6, 6] covariance over the pose
+    tangent [dθ(3), dp(3)] (ES order: rows 0-5 of the state's 15-dof block).
+    """
+    from beam_slam_tpu.core.window import IMU_DOF
+
+    H, g, H_ll, g_l, W, _ = _assemble(window, families, losses, "auto")
+    dtype = H.dtype
+    Dp = H.shape[0]
+    L = H_ll.shape[0]
+    free = jnp.concatenate([window.dense_free_mask(),
+                            jnp.zeros((1,), bool)]).astype(dtype)
+    lm_free = (window.landmarks.active & ~window.landmarks.held).astype(dtype)
+
+    Hm = H * (free[:, None] * free[None, :]) + jnp.diag(1.0 - free)
+    W = W * free[:, None] * jnp.repeat(lm_free, LANDMARK_DOF)[None, :]
+    eye3 = jnp.eye(3, dtype=dtype)
+    tr = jnp.trace(H_ll, axis1=1, axis2=2)
+    Hll_d = H_ll + (1e-5 * tr + 1e-8)[:, None, None] * eye3[None]
+    Hll_d = jnp.where(lm_free[:, None, None] > 0, Hll_d, eye3[None])
+    Hll_inv = jnp.linalg.inv(Hll_d)
+    Wr = W.reshape(Dp, L, 3)
+    Y = jnp.einsum("dlk,lkm->dlm", Wr, Hll_inv)
+    H_red = Hm - jnp.einsum("dlm,elm->de", Y, Wr)
+
+    d = jnp.diagonal(H_red)
+    s = jax.lax.rsqrt(jnp.maximum(d, _DIAG_EPS))
+    Hs = H_red * (s[:, None] * s[None, :])
+    Hs = Hs + 1e-9 * jnp.eye(Dp, dtype=dtype)
+    Lc = jnp.linalg.cholesky(Hs)
+
+    # RHS: scaled unit columns of the requested pose dofs
+    cols = (slots[:, None] * IMU_DOF
+            + jnp.arange(6, dtype=jnp.int32)[None, :]).reshape(-1)  # [S*6]
+    E = jax.nn.one_hot(cols, Dp, dtype=dtype).T * s[:, None]  # [Dp, S*6]
+    X = jax.scipy.linalg.cho_solve((Lc, True), E) * s[:, None]
+    # diagonal 6x6 blocks of the requested sub-inverse
+    S_req = slots.shape[0]
+    Xr = X[cols, :].reshape(S_req, 6, S_req, 6)   # [S,6,S,6]
+    idx = jnp.arange(S_req)
+    cov = Xr[idx, :, idx, :]                      # [S, 6, 6]
+    return 0.5 * (cov + jnp.swapaxes(cov, 1, 2))
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def _solve_impl(window, families, n_iter, losses,
                 options: SolverOptions):

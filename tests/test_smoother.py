@@ -109,7 +109,9 @@ def test_solver_reuses_compiled_step():
     sm.send_transaction(txn)
     sm.run_once()  # compile (or cache hit)
 
-    durs = []
+    # steady state must add ZERO new executables: assert via the jit cache
+    # counter, not wall-clock (timing is flaky under xdist contention)
+    compiles_before = gn._solve_impl._cache_size()
     for i in range(1, 6):
         t_prev, t_cur = (i - 1) * 0.5, i * 0.5
         d = preint_segment(traj, t_prev, t_cur)
@@ -118,12 +120,8 @@ def test_solver_reuses_compiled_step():
         txn.add_imu_state(t_cur, g.q[0], g.p[0], g.v[0])
         txn.add_imu_relative(t_prev, t_cur, d, np.zeros(3), np.zeros(3))
         sm.send_transaction(txn)
-        t0 = time.perf_counter()
         sm.run_once()
-        durs.append(time.perf_counter() - t0)
-    # a recompile costs tens of seconds; ticks stay fast even under the
-    # 4-way CPU contention of the xdist suite
-    assert min(durs) < 1.0, durs
+    assert gn._solve_impl._cache_size() == compiles_before
 
 
 def test_reset_protocol():
