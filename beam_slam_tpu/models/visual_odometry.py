@@ -104,6 +104,11 @@ class VisualOdometry:
         self.failures = 0
         self.reset_count = 0
         self.odometry_log: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        from beam_slam_tpu.vision.validation import VOLocalizationValidation
+        self.validation = VOLocalizationValidation(
+            t_init_thresh=params.max_correction_trans_m,
+            r_init_thresh=np.deg2rad(params.max_correction_rot_deg))
+        self._last_localize_ok = True
 
     # -- frames ------------------------------------------------------------
     def _camera_extrinsic(self):
@@ -175,12 +180,16 @@ class VisualOdometry:
         if not bool(res.converged) \
                 or float(res.mean_error_px) > P.max_localization_error_px:
             return np.asarray(q_seed_wb), np.asarray(p_seed_wb), False
-        # correction-vs-seed validation (VOLocalizationValidation)
+        # statistical validation on (correction, covariance-entropy,
+        # reprojection) — VOLocalizationValidation (vo_localization_
+        # validation.cpp Validate: rolling mean ± 2σ/5σ gates)
         dp = float(jnp.linalg.norm(res.p - p_wc0))
         dth = float(jnp.linalg.norm(lie.so3_log(
             lie.quat_mul(lie.quat_conj(res.q), q_wc0))))
-        if dp > P.max_correction_trans_m \
-                or np.rad2deg(dth) > P.max_correction_rot_deg:
+        cov = np.linalg.inv(np.asarray(res.information, np.float64)
+                            + 1e-9 * np.eye(6))
+        if not self.validation.validate(dth, dp, cov,
+                                        float(res.mean_error_px)):
             return np.asarray(q_seed_wb), np.asarray(p_seed_wb), False
         q_wb, p_wb = self._baselink_from_camera(res.q, res.p)
         return np.asarray(q_wb), np.asarray(p_wb), True
@@ -316,11 +325,16 @@ class VisualOdometry:
             q_seed, p_seed = np.array([1, 0, 0, 0], np.float32), np.zeros(3)
 
         q_wb, p_wb, ok = self._localize(meas, q_seed, p_seed)
+        self._last_localize_ok = ok
         if not ok:
+            # graceful fallback: keep the frame-initializer seed; any factor
+            # built from this pose carries an inflated covariance
+            # (visual_odometry.cpp:267-284)
             self.failures += 1
             if self.failures >= P.max_failures_before_reset:
                 self.reset_count += 1
                 self.failures = 0
+                self.validation.clear()
         else:
             self.failures = 0
         self._current_pose = (q_wb, p_wb)
@@ -356,7 +370,12 @@ class VisualOdometry:
                 q_ai = lie.quat_conj(jnp.asarray(a["q"]))
                 dq = lie.quat_mul(q_ai, jnp.asarray(b["q"]))
                 dp = lie.quat_rotate(q_ai, jnp.asarray(b["p"] - a["p"]))
-                w = 1.0 / np.sqrt(self.params.standalone_rel_cov)
+                # inflate covariance 100x when this keyframe's localization
+                # fell back to the seed (visual_odometry.cpp:267-284)
+                cov = self.params.standalone_rel_cov
+                if not self._last_localize_ok:
+                    cov *= 100.0
+                w = 1.0 / np.sqrt(cov)
                 main_txn = Transaction(stamp=meas.stamp)
                 if prev_kf not in self.smoother.slot_of_stamp:
                     main_txn.add_imu_state(prev_kf, a["q"], a["p"],

@@ -79,3 +79,35 @@ def test_vo_standalone_mode():
     errs = np.asarray(errs)
     assert len(errs) >= 3
     assert errs[-1] < 0.1 and np.median(errs) < 0.1, errs
+
+
+def test_vo_localization_validation_entropy_gate():
+    """A degenerate localization (huge covariance → entropy spike) must be
+    rejected once the rolling statistics are warmed up — the reference's
+    entropy check (vo_localization_validation.cpp CheckStoredMetrics)."""
+    from beam_slam_tpu.vision.validation import VOLocalizationValidation
+
+    v = VOLocalizationValidation(list_size=15)
+    rng = np.random.default_rng(0)
+    cov = np.eye(6) * 1e-4
+    for _ in range(15):
+        assert v.validate(0.01 + rng.normal() * 1e-3,
+                          0.05 + rng.normal() * 1e-3, cov, 1.0)
+    # entropy spike: covariance inflated 1000x, geometry otherwise nominal
+    assert not v.validate(0.01, 0.05, cov * 1e3, 1.0)
+    assert "entropy" in v.last_failure
+    # nominal result still accepted afterwards (outlier did not poison stats)
+    assert v.validate(0.01, 0.05, cov, 1.0)
+
+
+def test_vo_localization_validation_initial_thresholds():
+    from beam_slam_tpu.vision.validation import VOLocalizationValidation
+
+    v = VOLocalizationValidation()
+    cov = np.eye(6) * 1e-4
+    assert v.validate(0.01, 0.05, cov, 1.0)
+    assert not v.validate(0.01, 5.0, cov, 1.0)       # translation jump
+    assert "translation" in v.last_failure
+    assert not v.validate(2.0, 0.05, cov, 1.0)       # rotation jump
+    assert not v.validate(0.01, 0.05, np.eye(6), 1.0)  # entropy too high
+    assert not v.validate(0.01, 0.05, cov, 100.0)    # reprojection error
