@@ -20,15 +20,20 @@ entries.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+import functools
+import json
+import os
+from typing import Optional, Union
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from beam_slam_tpu.core import lie
+from beam_slam_tpu.lidar import matchers as gm
 from beam_slam_tpu.lidar import registration as reg
-from beam_slam_tpu.lidar.cloud import FeatureCloud
+from beam_slam_tpu.lidar.cloud import FeatureCloud, RingGrid
 from beam_slam_tpu.lidar.registration_map import RegistrationMap
 from beam_slam_tpu.solver.smoother import Transaction
 
@@ -119,7 +124,8 @@ class ScanToMapLoamRegistration:
         return q, p
 
     def register_new_scan(self, stamp: float, features: FeatureCloud,
-                          q_seed_bl, p_seed_bl, txn: Transaction) -> bool:
+                          q_seed_bl, p_seed_bl, txn: Transaction,
+                          grid: Optional[RingGrid] = None) -> bool:
         """q_seed_bl/p_seed_bl: initial T_MAP_BASELINK estimate
         (frame-initializer). On success appends a relative-pose factor (lidar
         frame, extrinsic ``LIDAR_SENSOR``) between the previous and new
@@ -200,7 +206,8 @@ class MultiScanLoamRegistration:
         self.failures = 0
 
     def register_new_scan(self, stamp: float, features: FeatureCloud,
-                          q_seed_bl, p_seed_bl, txn: Transaction) -> bool:
+                          q_seed_bl, p_seed_bl, txn: Transaction,
+                          grid: Optional[RingGrid] = None) -> bool:
         """Seeds are baselink poses (same frame conventions as
         ScanToMapLoamRegistration)."""
         q_wb = jnp.asarray(q_seed_bl, jnp.float32)
@@ -250,3 +257,227 @@ class MultiScanLoamRegistration:
         self.failures = 0
         self.refs.append((stamp, q_reg, p_reg, features))
         return True
+
+
+# ---------------------------------------------------------------------------
+# Generic-matcher multi-scan registration (ICP / GICP / NDT)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "cfg"))
+def _run_matcher(kind: str, src, sv, tgt, tv, q0, p0,
+                 cfg: gm.MatcherConfig):
+    if kind == "ICP":
+        return gm.icp_point_to_point(src, sv, tgt, tv, q0, p0, cfg)
+    if kind == "GICP":
+        return gm.gicp_point_to_plane(src, sv, tgt, tv, q0, p0, cfg)
+    if kind == "NDT":
+        return gm.ndt_voxel_gaussian(src, sv, tgt, tv, q0, p0, cfg)
+    raise ValueError(kind)
+
+
+def raw_points_from_grid(grid: RingGrid, max_points: int = 4096,
+                         voxel: float = 0.2):
+    """Host-side: valid grid points → voxel-downsampled fixed-capacity cloud
+    (pts [max_points, 3], valid [max_points])."""
+    pts = np.asarray(grid.xyz).reshape(-1, 3)
+    ok = np.asarray(grid.valid).reshape(-1)
+    pts = pts[ok]
+    if len(pts) and voxel > 0:
+        cells = np.floor(pts / voxel).astype(np.int64)
+        _, first = np.unique(
+            cells[:, 0] * 73856093 + cells[:, 1] * 19349663
+            + cells[:, 2] * 83492791, return_index=True)
+        pts = pts[np.sort(first)]
+    if len(pts) > max_points:
+        idx = np.linspace(0, len(pts) - 1, max_points).astype(int)
+        pts = pts[idx]
+    out = np.zeros((max_points, 3), np.float32)
+    valid = np.zeros(max_points, bool)
+    out[:len(pts)] = pts
+    valid[:len(pts)] = True
+    return jnp.asarray(out), jnp.asarray(valid)
+
+
+class MultiScanMatcherRegistration:
+    """MultiScanRegistration with a generic matcher (ICP | GICP | NDT) on
+    raw downsampled clouds — the reference's non-LOAM variants
+    (multi_scan_registration.cpp + beam_matching Matchers.h; selected by the
+    ``matcher_type`` of the matcher JSON, scan_registration_base.cpp:75-97).
+
+    Same frame conventions and factor emission as MultiScanLoamRegistration;
+    requires the raw scan (``grid=``) in register_new_scan.
+    """
+
+    def __init__(self, params: ScanRegistrationParams = ScanRegistrationParams(),
+                 matcher_type: str = "ICP",
+                 matcher_cfg: gm.MatcherConfig = gm.MatcherConfig(),
+                 num_neighbors: int = 3, lag_duration: float = 10.0,
+                 max_points: int = 4096, downsample_voxel: float = 0.2,
+                 q_bl=None, p_bl=None):
+        assert matcher_type in ("ICP", "GICP", "NDT"), matcher_type
+        self.params = params
+        self.matcher_type = matcher_type
+        self.matcher_cfg = matcher_cfg
+        self.num_neighbors = num_neighbors
+        self.lag_duration = lag_duration
+        self.max_points = max_points
+        self.downsample_voxel = downsample_voxel
+        self.q_bl = jnp.asarray([1.0, 0, 0, 0] if q_bl is None else q_bl,
+                                jnp.float32)
+        self.p_bl = jnp.asarray([0.0, 0, 0] if p_bl is None else p_bl,
+                                jnp.float32)
+        self.refs: list = []  # (stamp, q, p, pts, valid) newest-last
+        self.failures = 0
+
+    def register_new_scan(self, stamp: float, features, q_seed_bl, p_seed_bl,
+                          txn: Transaction,
+                          grid: Optional[RingGrid] = None) -> bool:
+        assert grid is not None, "matcher registration needs the raw scan"
+        q_wb = jnp.asarray(q_seed_bl, jnp.float32)
+        p_wb = jnp.asarray(p_seed_bl, jnp.float32)
+        q_seed = lie.quat_mul(q_wb, self.q_bl)
+        p_seed = p_wb + lie.quat_rotate(q_wb, self.p_bl)
+        pts, valid = raw_points_from_grid(grid, self.max_points,
+                                          self.downsample_voxel)
+        self.refs = [r for r in self.refs
+                     if stamp - r[0] <= self.lag_duration]
+
+        if not self.refs:
+            if self.params.fix_first_scan:
+                txn.add_abs_pose(stamp, np.asarray(q_wb), np.asarray(p_wb),
+                                 (1.0 / np.sqrt(1e-9))
+                                 * np.eye(6, dtype=np.float32))
+            self.refs.append((stamp, q_seed, p_seed, pts, valid))
+            return True
+
+        n_ok = 0
+        q_reg, p_reg = q_seed, p_seed
+        for (r_stamp, r_q, r_p, r_pts, r_valid) in \
+                self.refs[-self.num_neighbors:]:
+            tgt = lie.quat_rotate(r_q[None, :], r_pts) + r_p[None, :]
+            result = _run_matcher(self.matcher_type, pts, valid, tgt,
+                                  r_valid, q_seed, p_seed, self.matcher_cfg)
+            if not bool(result.converged) or not _validate(
+                    q_seed, p_seed, result.q, result.p, self.params):
+                continue
+            dq, dp = _pose_delta(r_q, r_p, result.q, result.p)
+            txn.add_relative_pose(
+                r_stamp, stamp, np.asarray(dq), np.asarray(dp),
+                _sqrt_info_6(self.params, result.information),
+                sensor=LIDAR_SENSOR)
+            q_reg, p_reg = result.q, result.p
+            n_ok += 1
+
+        if n_ok == 0:
+            self.failures += 1
+            return False
+        self.failures = 0
+        self.refs.append((stamp, q_reg, p_reg, pts, valid))
+        return True
+
+
+# ---------------------------------------------------------------------------
+# Config factory (scan_registration_base.cpp:40-97 Create)
+# ---------------------------------------------------------------------------
+
+
+def _load_json(source: Union[str, dict], config_root: Optional[str]) -> dict:
+    if isinstance(source, dict):
+        return source
+    path = source
+    if config_root is not None and not os.path.isabs(path):
+        path = os.path.join(config_root, path)
+    with open(path) as f:
+        return json.load(f)
+
+
+def _base_params(rcfg: dict) -> ScanRegistrationParams:
+    return ScanRegistrationParams(
+        min_motion_trans_m=float(rcfg.get("min_motion_trans_m", 0.0)),
+        min_motion_rot_deg=float(rcfg.get("min_motion_rot_deg", 0.0)),
+        max_motion_trans_m=float(rcfg.get("max_motion_trans_m", 10.0)),
+        fix_first_scan=bool(rcfg.get("fix_first_scan", True)))
+
+
+def loam_feature_config(mcfg: dict) -> "object":
+    """LOAM matcher JSON → feature-extraction config (same keys as
+    matchers/loam_vlp16.json where the concept carries over)."""
+    from beam_slam_tpu.lidar import features as feat
+    return feat.LoamConfig(
+        n_sectors=int(mcfg.get("n_feature_regions", 6)),
+        neighbors=int(mcfg.get("curvature_region", 5)),
+        edge_strong_per_sector=int(mcfg.get("max_corner_sharp", 2)),
+        edge_weak_per_sector=int(mcfg.get("max_corner_less_sharp", 20)),
+        surf_strong_per_sector=int(mcfg.get("max_surface_flat", 4)),
+        edge_curvature_min=float(
+            mcfg.get("surface_curvature_threshold", 0.1)),
+        surf_curvature_max=float(
+            mcfg.get("surface_curvature_threshold", 0.1)))
+
+
+def create_scan_registration(registration_config: Union[str, dict],
+                             matcher_config: Union[str, dict],
+                             config_root: Optional[str] = None,
+                             q_bl=None, p_bl=None):
+    """Factory mirroring ``ScanRegistrationBase::Create``
+    (scan_registration_base.cpp:40-97): selects the registration strategy
+    from ``registration_type`` (SCANTOMAP | MULTISCAN) × the matcher from
+    ``matcher_type`` (LOAM | ICP | GICP | NDT). JSON schemas follow
+    beam_slam_launch/config/{registration,matchers}/*.json.
+
+    Returns (strategy, loam_feature_cfg_or_None).
+    """
+    rcfg = _load_json(registration_config, config_root)
+    mcfg = _load_json(matcher_config, config_root)
+    rtype = rcfg["registration_type"].upper()
+    mtype = mcfg["matcher_type"].upper()
+    params = _base_params(rcfg)
+
+    if mtype == "LOAM":
+        reg_cfg = reg.LoamRegistrationConfig(
+            iterations=int(mcfg.get("max_correspondence_iterations", 5)) + 3,
+            max_corr_dist=float(
+                mcfg.get("max_correspondence_distance", 0.5)),
+            min_inliers=int(mcfg.get("min_number_measurements", 30)))
+        feat_cfg = loam_feature_config(mcfg)
+        if rtype == "SCANTOMAP":
+            return ScanToMapLoamRegistration(
+                params, reg_cfg, map_size=int(rcfg.get("map_size", 10)),
+                q_bl=q_bl, p_bl=p_bl), feat_cfg
+        if rtype == "MULTISCAN":
+            return MultiScanLoamRegistration(
+                params, reg_cfg,
+                num_neighbors=int(rcfg.get("num_neighbors", 3)),
+                lag_duration=float(rcfg.get("lag_duration", 10.0)),
+                q_bl=q_bl, p_bl=p_bl), feat_cfg
+        raise ValueError(f"registration type {rtype} not implemented")
+
+    if rtype != "MULTISCAN":
+        # reference: non-LOAM matchers only exist for MULTISCAN
+        # (scan_registration_base.cpp:75: "only multi scan is implemented")
+        raise ValueError(f"{rtype} with matcher {mtype} not implemented")
+
+    if mtype == "ICP":
+        mc = gm.MatcherConfig(
+            iterations=min(int(mcfg.get("max_iter", 50)), 20),
+            max_corr_dist=float(mcfg.get("max_corr", 1.0)))
+        voxel = float(mcfg.get("res", 0.0)) or 0.2
+    elif mtype == "GICP":
+        mc = gm.MatcherConfig(
+            iterations=min(int(mcfg.get("max_iter", 100)), 20),
+            k_normal=max(int(mcfg.get("corr_rand", 10)), 4),
+            max_corr_dist=float(mcfg.get("max_corr", 1.0)))
+        voxel = float(mcfg.get("res", 0.1)) or 0.2
+    elif mtype == "NDT":
+        mc = gm.MatcherConfig(
+            iterations=min(int(mcfg.get("max_iter", 100)), 20),
+            max_corr_dist=float(mcfg.get("res", 1.0)))
+        voxel = max(float(mcfg.get("min_res", 0.05)), 0.05)
+    else:
+        raise ValueError(f"unknown matcher_type {mtype}")
+    return MultiScanMatcherRegistration(
+        params, matcher_type=mtype, matcher_cfg=mc,
+        num_neighbors=int(rcfg.get("num_neighbors", 3)),
+        lag_duration=float(rcfg.get("lag_duration", 10.0)),
+        downsample_voxel=voxel, q_bl=q_bl, p_bl=p_bl), None

@@ -18,6 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from beam_slam_tpu.lidar import features as feat
+from beam_slam_tpu.lidar import filters as lfil
 from beam_slam_tpu.lidar.cloud import FeatureCloud, RingGrid
 from beam_slam_tpu.lidar.scan_registration import (ScanToMapLoamRegistration,
                                                    MultiScanLoamRegistration)
@@ -57,14 +58,19 @@ class LidarOdometry:
                  loam_cfg: feat.LoamConfig = feat.LoamConfig(),
                  trigger_cb: Optional[Callable[[float], None]] = None,
                  frame_initializer: Optional[Callable] = None,
-                 chunk_cb: Optional[Callable[[SlamChunk], None]] = None):
-        """``registration``: a ScanToMapLoamRegistration or
-        MultiScanLoamRegistration strategy; ``frame_initializer(t) →
-        (q_wb, p_wb)`` seeds each scan (IMU odometry)."""
+                 chunk_cb: Optional[Callable[[SlamChunk], None]] = None,
+                 input_filters=()):
+        """``registration``: any scan-registration strategy from
+        :func:`beam_slam_tpu.lidar.scan_registration.create_scan_registration`
+        (ScanToMap/MultiScan x LOAM|ICP|GICP|NDT); ``frame_initializer(t) →
+        (q_wb, p_wb)`` seeds each scan (IMU odometry); ``input_filters`` is
+        the pre-extraction filter chain (lidar_odometry.cpp:37-45 input
+        filter loading, beam_slam_tpu.lidar.filters)."""
         self.smoother = smoother
         self.registration = registration
         self.params = params
         self.loam_cfg = loam_cfg
+        self.input_filters = tuple(input_filters)
         self.trigger_cb = trigger_cb
         self.frame_initializer = frame_initializer
         self.chunk_cb = chunk_cb
@@ -97,12 +103,14 @@ class LidarOdometry:
         else:
             q_seed, p_seed = np.array([1, 0, 0, 0], np.float32), np.zeros(3)
 
+        if self.input_filters:
+            grid = lfil.apply_filters(grid, self.input_filters)
         fc = feat.extract_features(grid, self.loam_cfg)
         txn = Transaction(stamp=stamp)
         if stamp not in self.smoother.slot_of_stamp:
             txn.add_imu_state(stamp, q_seed, p_seed, np.zeros(3))
         ok = self.registration.register_new_scan(stamp, fc, q_seed, p_seed,
-                                                txn)
+                                                txn, grid=grid)
         if not ok:
             self.failures += 1
             if self.failures >= self.params.max_failures_before_reset:

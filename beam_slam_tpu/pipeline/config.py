@@ -12,6 +12,7 @@ visual_odometry_params.h:36-47).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -68,6 +69,12 @@ class LocalMapperConfig:
         lreg.LoamRegistrationConfig()
     registration_type: str = "SCANTOMAP"  # SCANTOMAP | MULTISCAN
     map_size: int = 10
+    # JSON sub-config tier (reference lio.yaml:55-59 registration_config /
+    # matcher_config / input_filters_config — paths relative to config_root)
+    config_root: Optional[str] = None
+    registration_config: Optional[str] = None
+    matcher_config: Optional[str] = None
+    input_filters_config: Optional[str] = None
     # GravityAlignment plugin (roll/pitch anchoring factors per keyframe)
     use_gravity_alignment: bool = True
     init: InitParams = dataclasses.field(default_factory=InitParams)
@@ -86,13 +93,43 @@ class LocalMapperConfig:
             solver=gn.SolverOptions(max_iterations=self.max_iterations),
         )
 
+    def build_scan_registration(self, q_bl=None, p_bl=None):
+        """Instantiate the configured registration strategy through the
+        factory (ScanRegistrationBase::Create analog). Falls back to the
+        in-struct params when no JSON sub-configs are set."""
+        from beam_slam_tpu.lidar.scan_registration import (
+            ScanToMapLoamRegistration, MultiScanLoamRegistration,
+            create_scan_registration)
+        if self.registration_config and self.matcher_config:
+            return create_scan_registration(
+                self.registration_config, self.matcher_config,
+                config_root=self.config_root, q_bl=q_bl, p_bl=p_bl)
+        if self.registration_type == "MULTISCAN":
+            return MultiScanLoamRegistration(
+                self.scan_registration, self.loam_registration,
+                q_bl=q_bl, p_bl=p_bl), self.loam
+        return ScanToMapLoamRegistration(
+            self.scan_registration, self.loam_registration,
+            map_size=self.map_size, q_bl=q_bl, p_bl=p_bl), self.loam
+
+    def build_input_filters(self):
+        from beam_slam_tpu.lidar import filters as lfil
+        if not self.input_filters_config:
+            return ()
+        path = self.input_filters_config
+        if self.config_root is not None and not os.path.isabs(path):
+            path = os.path.join(self.config_root, path)
+        return tuple(lfil.load_filters(path))
+
     @staticmethod
     def from_yaml(path: str) -> "LocalMapperConfig":
         """Load a reference-style pipeline YAML (same key names as
         lvio.yaml where applicable; unknown keys ignored with a warning)."""
         with open(path) as f:
             raw = yaml.safe_load(f) or {}
-        return LocalMapperConfig.from_dict(raw)
+        cfg = LocalMapperConfig.from_dict(raw)
+        cfg.config_root = os.path.dirname(os.path.abspath(path))
+        return cfg
 
     @staticmethod
     def from_dict(raw: Dict[str, Any]) -> "LocalMapperConfig":
@@ -106,6 +143,9 @@ class LocalMapperConfig:
             "max_landmarks": "max_landmarks",
             "registration_type": "registration_type",
             "map_size": "map_size",
+            "registration_config": "registration_config",
+            "matcher_config": "matcher_config",
+            "input_filters_config": "input_filters_config",
         }
         for key, attr in simple.items():
             if key in raw:

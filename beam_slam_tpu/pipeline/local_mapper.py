@@ -19,8 +19,6 @@ from typing import Callable, List, Optional, Tuple
 import numpy as np
 
 from beam_slam_tpu.lidar.cloud import RingGrid
-from beam_slam_tpu.lidar.scan_registration import (MultiScanLoamRegistration,
-                                                   ScanToMapLoamRegistration)
 from beam_slam_tpu.models.gravity_alignment import (GravityAlignment,
                                                     GravityAlignmentParams)
 from beam_slam_tpu.models.inertial_odometry import InertialOdometry
@@ -63,20 +61,17 @@ class LocalMapper:
             else:
                 self.smoother.register_extrinsic(
                     "lidar", np.array([1, 0, 0, 0], np.float32), np.zeros(3))
-            if config.registration_type == "MULTISCAN":
-                reg = MultiScanLoamRegistration(
-                    config.scan_registration, config.loam_registration,
-                    lag_duration=config.lag_duration, q_bl=q_bl, p_bl=p_bl)
-            else:
-                reg = ScanToMapLoamRegistration(
-                    config.scan_registration, config.loam_registration,
-                    map_size=config.map_size, q_bl=q_bl, p_bl=p_bl)
+            # registration/matcher factory (ScanRegistrationBase::Create):
+            # honors the JSON sub-config tier when configured
+            reg, feat_cfg = config.build_scan_registration(q_bl=q_bl,
+                                                           p_bl=p_bl)
             self.lo = LidarOdometry(
                 self.smoother, reg, LidarOdometryParams(),
-                loam_cfg=config.loam,
+                loam_cfg=feat_cfg or config.loam,
                 trigger_cb=self._trigger,
                 frame_initializer=self._frame_init,
-                chunk_cb=chunk_cb)
+                chunk_cb=chunk_cb,
+                input_filters=config.build_input_filters())
 
         self.vo = None
         self.tracker = None
