@@ -261,11 +261,18 @@ class BatchOptimizationParams:
 
 def run_batch_optimization(global_map: GlobalMap,
                            params: BatchOptimizationParams =
-                           BatchOptimizationParams()) -> dict:
+                           BatchOptimizationParams(),
+                           mesh=None) -> dict:
     """Whole-trajectory batch optimization: pose graph over every lidar
     keyframe (world frame), ScanContext loop closures with LOAM refinement
     and MAD-based outlier rejection, then write the optimized poses back
-    into the submaps."""
+    into the submaps.
+
+    With ``mesh`` the solve runs as the COUPLED distributed pose graph
+    (:mod:`beam_slam_tpu.parallel.distributed_pgo`): factors sharded over
+    the mesh, per-shard Hessian assembly, psum-reduced global system, loop
+    closures as the cross-shard edges (SURVEY.md §7.8; reference scale
+    target global_map_batch_optimization.cpp:1-519)."""
     from beam_slam_tpu.global_mapping import scancontext as sc
     from beam_slam_tpu.solver.smoother import (FixedLagSmoother,
                                                SmootherConfig, Transaction)
@@ -363,18 +370,65 @@ def run_batch_optimization(global_map: GlobalMap,
         txn.add_relative_pose(t_i, t_j, dq_m, dp_m,
                               w_loop * np.eye(6, dtype=np.float32))
 
-    smoother.send_transaction(txn)
-    smoother.run_once()
+    if mesh is not None:
+        poses = _solve_batch_distributed(mesh, kfs, txn, params)
+    else:
+        smoother.send_transaction(txn)
+        smoother.run_once()
+        poses = {t: smoother.get_state(t) for (t, *_r) in kfs}
 
     # write back: world keyframe poses → submap-frame keyframe poses
     for (t, _, _, _, (si, ki)) in kfs:
-        st = smoother.get_state(t)
+        st = poses[t]
         sm = global_map.submaps[si]
         q_sb, p_sb = sm.world_to_submap(st["q"], st["p"])
         sm.lidar_keyframes[ki].q = np.asarray(q_sb, np.float32)
         sm.lidar_keyframes[ki].p = np.asarray(p_sb, np.float32)
     return dict(keyframes=len(kfs), loops_found=len(loops),
                 loops_kept=len(kept))
+
+
+def _solve_batch_distributed(mesh, kfs, txn, params: BatchOptimizationParams):
+    """Convert the batch-optimization transaction into a sharded pose-graph
+    problem and run the coupled distributed LM (one psum-reduced global
+    system per iteration)."""
+    from beam_slam_tpu.parallel import distributed_pgo as dpgo
+
+    N = len(kfs)
+    slot_of = {t: i for i, (t, *_r) in enumerate(kfs)}
+    q0 = np.stack([np.asarray(k[1], np.float32) for k in kfs])
+    p0 = np.stack([np.asarray(k[2], np.float32) for k in kfs])
+    state = dpgo.PGOState(q=jnp.asarray(q0), p=jnp.asarray(p0),
+                          free=jnp.ones(N, bool))
+
+    rels = txn.rel_poses
+    F = max(len(rels), 1)
+    fac = dpgo.PGOFactors.zeros(F)
+    if rels:
+        fac = fac._replace(
+            i=jnp.asarray([slot_of[f.stamp_i] for f in rels], jnp.int32),
+            j=jnp.asarray([slot_of[f.stamp_j] for f in rels], jnp.int32),
+            dq=jnp.asarray(np.stack([f.dq for f in rels]), jnp.float32),
+            dp=jnp.asarray(np.stack([f.dp for f in rels]), jnp.float32),
+            sqrt_info=jnp.asarray(np.stack([f.sqrt_info for f in rels]),
+                                  jnp.float32),
+            active=jnp.ones(F, bool))
+    pris = txn.abs_poses
+    Fp = max(len(pris), 1)
+    pri = dpgo.PGOPriors.zeros(Fp)
+    if pris:
+        pri = pri._replace(
+            slot=jnp.asarray([slot_of[f.stamp] for f in pris], jnp.int32),
+            q0=jnp.asarray(np.stack([f.q for f in pris]), jnp.float32),
+            p0=jnp.asarray(np.stack([f.p for f in pris]), jnp.float32),
+            sqrt_info=jnp.asarray(np.stack([f.sqrt_info for f in pris]),
+                                  jnp.float32),
+            active=jnp.ones(Fp, bool))
+    out, _c0, _cf = dpgo.solve_distributed(
+        mesh, state, fac, pri, n_iter=params.solver.max_iterations)
+    q = np.asarray(out.q)
+    p = np.asarray(out.p)
+    return {t: dict(q=q[i], p=p[i]) for t, i in slot_of.items()}
 
 
 def run_full_refinement(global_map: GlobalMap,
@@ -386,7 +440,7 @@ def run_full_refinement(global_map: GlobalMap,
     cost = run_submap_refinement(global_map, params, mesh=mesh)
     n_aligned = run_submap_alignment(global_map)
     n_loops = run_pose_graph_optimization(global_map)
-    batch = run_batch_optimization(global_map)
+    batch = run_batch_optimization(global_map, mesh=mesh)
     return dict(refinement_cost=cost, submaps_aligned=n_aligned,
                 loop_closures=n_loops, **{f"batch_{k}": v
                                           for k, v in batch.items()})

@@ -139,6 +139,8 @@ class LocalMapper:
             # slam_initialization.cpp:364) — starting from an empty map makes
             # the first post-init registration lock onto a single sparse scan
             # and corrupts the first relative factor.
+            from beam_slam_tpu.lidar.scan_registration import \
+                ScanToMapLoamRegistration
             init_reg = self.init.lidar_path.reg
             if (isinstance(self.lo.registration, ScanToMapLoamRegistration)
                     and not init_reg.map.empty):
