@@ -1,0 +1,155 @@
+"""Synthetic full-pipeline session runner — drives the LocalMapper with
+simulated IMU / camera / lidar streams at configurable rates and evaluates
+ATE against the analytic ground truth.
+
+This is the self-generated accuracy baseline BASELINE.md calls for (the
+reference publishes no numbers): run LIO / VIO / LVIO at the reference
+envelope (lvio.yaml:2-3 — 10 s lag, 200 Hz IMU, 20 Hz camera, 10 Hz VLP-16)
+and record ATE RMSE. Used by ``tools/run_ate_benchmark.py`` (writes
+docs/ATE.md) and the envelope e2e tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from beam_slam_tpu.core import lie
+from beam_slam_tpu.lidar.cloud import synthetic_structured_scene
+from beam_slam_tpu.models.slam_initialization import InitParams
+from beam_slam_tpu.models.visual_feature_tracker import CameraMeasurement
+from beam_slam_tpu.pipeline.config import CalibrationConfig, LocalMapperConfig
+from beam_slam_tpu.pipeline.local_mapper import LocalMapper
+from beam_slam_tpu.utils import sim
+from beam_slam_tpu.utils.evaluation import ate_rmse
+from beam_slam_tpu.vision.camera import PinholeRadtan
+
+CAM = PinholeRadtan(400.0, 400.0, 320.0, 240.0)
+Q_BC = np.asarray(lie.matrix_to_quat(jnp.asarray(
+    [[0, 0, 1], [-1, 0, 0], [0, -1, 0]], jnp.float32)))
+P_BC = np.asarray([0.1, 0.0, 0.05], np.float32)
+Q_BL = np.array([1, 0, 0, 0], np.float32)
+P_BL = np.asarray([0.05, 0.0, -0.08], np.float32)
+
+
+@dataclasses.dataclass
+class SessionResult:
+    mode: str
+    duration_s: float
+    ate_rmse_m: float
+    n_poses: int
+    n_solves: int
+    mean_solve_ms: float
+    wall_s: float
+    counters: Dict[str, int]
+
+
+def run_synthetic_session(mode: str = "LVIO", duration_s: float = 20.0,
+                          lag_s: float = 10.0, imu_hz: float = 200.0,
+                          cam_hz: float = 20.0, lidar_hz: float = 10.0,
+                          max_states: int = 64, max_iterations: int = 8,
+                          seed: int = 11,
+                          scene=None) -> SessionResult:
+    """One full pipeline session at the given envelope. ``mode`` selects
+    which sensors feed the local mapper (LIO: no camera; VIO: no lidar after
+    init — init still uses FRAMEINIT/LIDAR as configured; LVIO: all)."""
+    rng = np.random.default_rng(seed)
+    traj = sim.AnalyticTrajectory(amp_p=(0.6, 0.5, 0.2),
+                                  v_drift=(0.35, 0.05, 0.0),
+                                  amp_r=(0.1, 0.1, 0.15))
+    scene = scene if scene is not None else synthetic_structured_scene(
+        n_rings=16, width=504)
+    use_cam = mode in ("VIO", "LVIO")
+    use_lidar = mode in ("LIO", "LVIO", "VIO")  # VIO inits from lidar path
+    n_lm = 120
+    lms = np.stack([rng.uniform(4, 11, n_lm), rng.uniform(-4.5, 4.5, n_lm),
+                    rng.uniform(-2.2, 2.2, n_lm)], axis=1).astype(np.float32)
+
+    cfg = LocalMapperConfig(
+        mode=mode, lag_duration=lag_s, max_states=max_states,
+        max_landmarks=256, max_reprojection_factors=4096,
+        max_iterations=max_iterations,
+        init=InitParams(mode="LIDAR", min_trajectory_length_m=1.5,
+                        min_observability=0.1),
+        calibration=CalibrationConfig(
+            camera=CAM if use_cam else None,
+            q_baselink_cam=Q_BC if use_cam else None,
+            p_baselink_cam=P_BC if use_cam else None,
+            q_baselink_lidar=Q_BL, p_baselink_lidar=P_BL,
+            imu_hz=imu_hz, camera_hz=cam_hz, lidar_hz=lidar_hz))
+    mapper = LocalMapper(cfg)
+
+    def scan_from_pose(q_wb, p_wb):
+        q_wl = lie.quat_mul(jnp.asarray(q_wb), jnp.asarray(Q_BL))
+        p_wl = jnp.asarray(p_wb) + lie.quat_rotate(jnp.asarray(q_wb),
+                                                   jnp.asarray(P_BL))
+        xyz = lie.quat_rotate(lie.quat_conj(q_wl)[None, None],
+                              scene.xyz - p_wl)
+        return scene._replace(
+            xyz=jnp.where(scene.valid[..., None], xyz, 0.0))
+
+    def camera_obs(q_wb, p_wb):
+        q_wc = lie.quat_mul(jnp.asarray(q_wb), jnp.asarray(Q_BC))
+        p_wc = jnp.asarray(p_wb) + lie.quat_rotate(jnp.asarray(q_wb),
+                                                   jnp.asarray(P_BC))
+        X_c = lie.quat_rotate(lie.quat_conj(q_wc)[None],
+                              jnp.asarray(lms) - p_wc)
+        uv, valid = CAM.project(np.asarray(X_c))
+        uv = np.asarray(uv)
+        valid = np.asarray(valid)
+        ids = np.nonzero(valid)[0].astype(np.int64)
+        pix = uv[valid] + rng.standard_normal(
+            (int(valid.sum()), 2)).astype(np.float32) * 0.3
+        return ids, pix.astype(np.float32)
+
+    # drive on the camera clock (or lidar clock for LIO)
+    tick_hz = cam_hz if use_cam else lidar_hz
+    dt_frame = 1.0 / tick_hz
+    n_frames = int(duration_s * tick_hz)
+    est: Dict[float, np.ndarray] = {}
+    t_prev = 0.0
+    t_wall0 = time.perf_counter()
+    for k in range(1, n_frames + 1):
+        t = k * dt_frame
+        n_imu = max(int(imu_hz / tick_hz), 1)
+        tm = t_prev + (np.arange(n_imu) + 0.5) * (t - t_prev) / n_imu
+        s = traj.sample(jnp.asarray(tm, jnp.float32))
+        for i in range(n_imu):
+            mapper.on_imu(float(tm[i]), np.asarray(s.w_body[i]),
+                          np.asarray(s.a_body[i]))
+        gk = traj.sample(jnp.asarray([t], jnp.float32))
+        q_gt, p_gt = gk.q[0], gk.p[0]
+        if use_lidar and (not use_cam
+                          or k % max(int(tick_hz / lidar_hz), 1) == 0):
+            mapper.on_scan(round(t, 6), scan_from_pose(q_gt, p_gt))
+        if use_cam and mapper.initialized:
+            ids, pix = camera_obs(q_gt, p_gt)
+            mapper.on_camera_measurement(
+                CameraMeasurement(round(t, 6), ids, pix, pix))
+        mapper.tick()
+        if mapper.initialized:
+            stamps = mapper.smoother.current_stamps()
+            if stamps:
+                st = mapper.smoother.get_state(stamps[-1])
+                est[stamps[-1]] = st["p"].copy()
+        t_prev = t
+    wall = time.perf_counter() - t_wall0
+
+    if not mapper.initialized or len(est) < 5:
+        raise RuntimeError(
+            f"{mode} session failed to initialize/track ({len(est)} poses)")
+    stamps_e = sorted(est.keys())
+    est_p = np.stack([est[t] for t in stamps_e])
+    gt_at = traj.sample(jnp.asarray(stamps_e, jnp.float32))
+    rmse = float(ate_rmse(est_p, np.asarray(gt_at.p), align="se3"))
+    sm = mapper.smoother
+    return SessionResult(
+        mode=mode, duration_s=duration_s, ate_rmse_m=rmse,
+        n_poses=len(stamps_e), n_solves=sm.solve_count,
+        mean_solve_ms=1e3 * sm.total_solve_time / max(sm.solve_count, 1),
+        wall_s=wall, counters=dict(sm.counters))
