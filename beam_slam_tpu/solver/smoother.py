@@ -373,6 +373,14 @@ class SmootherConfig:
     # dropping it (fixed_lag_smoother.h:113, default 0.10 s); measured
     # against the newest stamp seen (the pipeline's clock)
     transaction_timeout: float = 0.10
+    # overlap sensor ingestion with the in-flight jitted solve (the
+    # optimizer-thread/condvar design of the reference,
+    # fixed_lag_smoother.cpp:166-311): run_once dispatches the solve
+    # asynchronously (JAX dispatch is async) and harvests it on a later
+    # tick, so transaction application and solving proceed concurrently.
+    # Results land with one-tick latency; stale slots (recycled while the
+    # solve was in flight) are skipped at harvest.
+    async_solve: bool = False
     # wall-clock solve budget (Ceres max_solver_time_in_seconds analog,
     # lvio.yaml:14). The compiled LM scan has fixed length, so the budget is
     # honored by downshifting to a short-scan executable when the EMA of
@@ -491,6 +499,7 @@ class FixedLagSmoother:
             landmark_evictions=0, forced_state_marginalizations=0,
             solve_downshifts=0)
         self._cov_cache: Dict[Stamp, np.ndarray] = {}
+        self._inflight: Optional[tuple] = None  # async double-buffered solve
 
     # -- public API ---------------------------------------------------------
     def send_transaction(self, txn: Transaction):
@@ -1172,6 +1181,8 @@ class FixedLagSmoother:
                 self.counters["solve_downshifts"] += 1
 
     def run_once(self) -> Optional[gn.SolveDiagnostics]:
+        if self.cfg.async_solve:
+            return self._run_once_async()
         if not self._pending and not self.slot_of_stamp:
             return None
         self._process_queue()
@@ -1193,6 +1204,76 @@ class FixedLagSmoother:
         for cb in self._on_update:
             cb(self)
         return diag
+
+    # -- async (double-buffered) optimizer tick -----------------------------
+    def _run_once_async(self) -> Optional[gn.SolveDiagnostics]:
+        """Overlapped tick: harvest the previous solve if it finished, then
+        ingest + marginalize + dispatch a new solve WITHOUT blocking. While a
+        solve is still in flight only ingestion happens (the reference's
+        optimizer thread likewise skips a cycle when busy)."""
+        harvested = None
+        if self._inflight is not None:
+            out, diag, snapshot = self._inflight
+            leaves = jax.tree_util.tree_leaves(out)
+            if not all(x.is_ready() for x in leaves):
+                self._process_queue()  # keep ingesting under the solve
+                return None
+            self._harvest(out, diag, snapshot)
+            harvested = diag
+        if not self._pending and not self.slot_of_stamp:
+            return harvested
+        self._process_queue()
+        self._marginalize()
+        if not self.slot_of_stamp:
+            return harvested
+        window, families, losses = self._build_device_problem()
+        opts = self._solver_options()
+        out, diag = gn.solve(window, families, losses, opts)  # async dispatch
+        self._inflight = (out, diag,
+                          (self.stamp_of_slot.copy(),
+                           self.lm_id_of_slot.copy()))
+        self.solve_count += 1
+        return harvested
+
+    def flush(self) -> Optional[gn.SolveDiagnostics]:
+        """Block on the in-flight solve and harvest it (used at shutdown and
+        by tests; sync mode: no-op)."""
+        if self._inflight is None:
+            return self.last_diagnostics
+        out, diag, snapshot = self._inflight
+        jax.block_until_ready(out)
+        self._harvest(out, diag, snapshot)
+        return diag
+
+    def _harvest(self, out: WindowState, diag, snapshot):
+        """Copy the solved values back into the host mirrors, skipping slots
+        that were recycled while the solve was in flight."""
+        stamp_snap, lm_snap = snapshot
+        self._inflight = None
+        q = np.array(out.imu.q)
+        p = np.array(out.imu.p)
+        v = np.array(out.imu.v)
+        bg = np.array(out.imu.bg)
+        ba = np.array(out.imu.ba)
+        same = np.zeros(self.K, bool)
+        for s in range(self.K):
+            a, b = stamp_snap[s], self.stamp_of_slot[s]
+            same[s] = self.state_active[s] and (
+                (np.isnan(a) and np.isnan(b)) or a == b)
+        self.q[same] = q[same]
+        self.p[same] = p[same]
+        self.v[same] = v[same]
+        self.bg[same] = bg[same]
+        self.ba[same] = ba[same]
+        self.ext_q = np.array(out.extrinsics.q)
+        self.ext_p = np.array(out.extrinsics.p)
+        lm_pt = np.array(out.landmarks.pt)
+        lm_same = self.lm_active & (lm_snap == self.lm_id_of_slot)
+        self.lm_pt[lm_same] = lm_pt[lm_same]
+        self._cov_cache.clear()
+        self.last_diagnostics = diag
+        for cb in self._on_update:
+            cb(self)
 
     # -- covariance recovery ------------------------------------------------
     def get_pose_covariance(self, stamp: Stamp) -> np.ndarray:

@@ -138,3 +138,50 @@ def test_reset_protocol():
                       1e2 * np.eye(15, dtype=np.float32))
     sm.send_transaction(txn)
     assert sm.run_once() is not None
+
+
+def test_async_overlapped_solve_matches_sync():
+    """async_solve=True (the optimizer-thread overlap analog,
+    fixed_lag_smoother.cpp:166-311): ingestion proceeds while the solve is
+    in flight; after a flush the trajectory matches the synchronous result
+    to solver tolerance."""
+    results = {}
+    for use_async in (False, True):
+        traj = sim.AnalyticTrajectory()
+        sm = make_smoother(lag=4.0)
+        sm.cfg.async_solve = use_async
+        txn = Transaction(stamp=0.0)
+        g0 = traj.sample(jnp.zeros((1,), jnp.float32))
+        txn.add_imu_state(0.0, g0.q[0], g0.p[0], g0.v[0])
+        txn.add_imu_prior(0.0, g0.q[0], g0.p[0], g0.v[0], np.zeros(3),
+                          np.zeros(3), 1e3 * np.eye(15, dtype=np.float32))
+        sm.send_transaction(txn)
+        sm.run_once()
+        rng = np.random.default_rng(1)
+        for i in range(1, 9):
+            t0, t1 = (i - 1) * 0.5, i * 0.5
+            d = preint_segment(traj, t0, t1)
+            g = traj.sample(jnp.asarray([t1], jnp.float32))
+            txn = Transaction(stamp=t1)
+            txn.add_imu_state(
+                t1,
+                np.asarray(lie.quat_mul(g.q[0], lie.so3_exp_quat(
+                    jnp.asarray(rng.standard_normal(3).astype(np.float32)
+                                * 0.05)))),
+                np.asarray(g.p[0]) + rng.standard_normal(3) * 0.05,
+                np.asarray(g.v[0]) + rng.standard_normal(3) * 0.05)
+            txn.add_imu_relative(t0, t1, d, np.zeros(3), np.zeros(3))
+            sm.send_transaction(txn)
+            sm.run_once()
+        if use_async:
+            # drain: keep ticking until the last dispatched solve lands
+            for _ in range(4):
+                sm.run_once()
+            sm.flush()
+        results[use_async] = {t: sm.get_state(t)["p"]
+                              for t in sm.current_stamps()}
+        assert sm.last_diagnostics is not None
+    shared = sorted(set(results[False]) & set(results[True]))
+    assert len(shared) >= 5
+    for t in shared:
+        assert np.linalg.norm(results[False][t] - results[True][t]) < 2e-3, t
