@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -143,6 +145,7 @@ def _step(carry, inp, noise: PreintNoise):
     return carry, None
 
 
+@partial(jax.jit, static_argnames=("compute_information",))
 def preintegrate(dt: jnp.ndarray, w: jnp.ndarray, a: jnp.ndarray,
                  bg: jnp.ndarray, ba: jnp.ndarray, noise: PreintNoise,
                  valid: jnp.ndarray | None = None,

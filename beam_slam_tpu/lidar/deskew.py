@@ -9,6 +9,9 @@ from inertial odometry)."""
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from beam_slam_tpu.core import lie
@@ -33,6 +36,7 @@ def slerp(q0: jnp.ndarray, q1: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
     return lie.quat_normalize(q)
 
 
+@jax.jit
 def deskew(grid: RingGrid, q0, p0, q1, p1, t0: float, t1: float) -> RingGrid:
     """Motion-compensate ``grid`` into the scan-start frame.
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -87,6 +89,7 @@ def _select_top(xyz_sec, score_sec, mask_sec, k, stride=1):
     return picked.reshape(R * NS * kk, 3), ok.reshape(R * NS * kk)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
 def extract_features(grid: RingGrid, cfg: LoamConfig = LoamConfig()
                      ) -> FeatureCloud:
     """Full LOAM feature extraction. Output caps are static functions of

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -151,11 +153,16 @@ def _plane_residuals(pts_map, pts_valid, map_surfs, map_valid,
     return n_hat, offset, w
 
 
+@partial(jax.jit, static_argnames=("cfg",))
 def register_loam(scan: FeatureCloud, map_edges, map_edges_valid,
                   map_surfs, map_surfs_valid, q0, p0,
                   cfg: LoamRegistrationConfig = LoamRegistrationConfig()
                   ) -> RegistrationResult:
     """Refine T_MAP_SCAN = (q, p) from the initial guess (q0, p0).
+
+    Jitted at module level (static ``cfg``): eager execution re-traced the
+    inner GN ``lax.scan`` on every call — a per-scan compile storm that
+    exhausted LLVM section mappings on long sessions.
 
     ``scan`` features are in the scan frame; maps are world/map-frame point
     sets (strong+weak features concatenated by the caller).

@@ -45,9 +45,10 @@ class SolverOptions(NamedTuple):
 
     ``max_iterations`` is a *runtime* limit (traced — changing it does NOT
     recompile); the compiled LM scan always has ``scan_length`` steps, with
-    iterations beyond the limit inert. Keep ``scan_length`` at its default
-    so every solve of a given window shape shares one executable — each
-    distinct static configuration costs a full XLA compile.
+    iterations beyond the limit inert (computed, then discarded — they cost
+    full time!). ``scan_length=None`` (default) compiles exactly
+    ``max_iterations`` steps; set it explicitly only when one executable
+    must serve several different runtime iteration budgets.
     """
 
     max_iterations: int = 10
@@ -55,7 +56,7 @@ class SolverOptions(NamedTuple):
     initial_lambda: float = 1e-4
     min_lambda: float = 1e-12
     max_lambda: float = 1e8
-    scan_length: int = 32  # static compiled iteration capacity
+    scan_length: Optional[int] = None  # static compiled iteration capacity
     # Normal-equation assembly kernel: "scatter" (per-factor scatter-adds;
     # best at small scale / XLA:CPU), "dense" (one-hot expansion to dense
     # Jacobian rows + one JᵀJ MXU matmul; the TPU path — scatters serialize
@@ -335,10 +336,10 @@ def solve(
     """Run LM on the window. ``families``/``losses`` are parallel tuples;
     family *types* and capacities are static, their array contents traced.
     ``options.max_iterations`` is passed as a traced scalar so different
-    iteration budgets share one compiled executable."""
-    n_iter = jnp.asarray(
-        min(options.max_iterations, options.scan_length), jnp.int32)
-    static = options._replace(max_iterations=0)
+    iteration budgets (within one scan_length) share one executable."""
+    sl = options.scan_length or options.max_iterations
+    n_iter = jnp.asarray(min(options.max_iterations, sl), jnp.int32)
+    static = options._replace(max_iterations=0, scan_length=sl)
     return _solve_impl(window, families, n_iter, losses, static)
 
 

@@ -1165,7 +1165,8 @@ class FixedLagSmoother:
             return opts
         if self._downshift_left > 0:
             self._downshift_left -= 1
-            short = min(self.cfg.downshift_scan_length, opts.scan_length)
+            full = opts.scan_length or opts.max_iterations
+            short = min(self.cfg.downshift_scan_length, full)
             return opts._replace(scan_length=short,
                                  max_iterations=min(opts.max_iterations,
                                                     short))
