@@ -59,15 +59,9 @@ class ActiveSubmap:
             self._edges_valid = jnp.concatenate(evs)
             self._surfs = jnp.concatenate(ss)
             self._surfs_valid = jnp.concatenate(svs)
-        # visual map points → world frame (GetVisualMapPoints)
-        pts = []
-        for ck in getattr(submap, "camera_keyframes", []):
-            lm = getattr(ck, "landmarks_world", None)
-            if lm is not None and len(lm):
-                pts.append(np.asarray(lie.quat_rotate(
-                    q_ws[None], jnp.asarray(lm)) + p_ws))
-        self._visual_pts = (np.concatenate(pts).astype(np.float32)
-                            if pts else np.zeros((0, 3), np.float32))
+        # visual map points → world frame (GetVisualMapPoints): the
+        # submap's landmark container
+        self._visual_pts = submap.landmarks_world()
         self.updates += 1
 
     def get_loam_map(self) -> Tuple[jnp.ndarray, jnp.ndarray,

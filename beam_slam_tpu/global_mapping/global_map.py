@@ -45,6 +45,41 @@ class GlobalMapParams:
     max_candidates: int = 2
     loop_covariance_weight: float = 1.0
     new_submap_rel_cov: float = 1e-3
+    loop_closure_cov: float = 1e-5
+    candidate_distance_threshold_m: float = 5.0
+    sc_dist_threshold: float = 0.3
+
+    @staticmethod
+    def from_json(source) -> "GlobalMapParams":
+        """Load a reference-style global_map.json
+        (beam_slam_launch/config/global_map/global_map.json +
+        reloc_candidate_search_*.json): same key names where the concept
+        carries over; the candidate-search sub-config may be inlined under
+        'loop_closure_candidate_search' or referenced by path."""
+        import json as _json
+        if isinstance(source, str):
+            with open(source) as f:
+                source = _json.load(f)
+        p = GlobalMapParams()
+        if "submap_size_m" in source:
+            p.submap_size_m = float(source["submap_size_m"])
+        if "disable_loop_closure" in source:
+            p.loop_closure = not bool(source["disable_loop_closure"])
+        lc_cov = source.get("loop_closure_covariance_diag")
+        if lc_cov:
+            p.loop_closure_cov = float(np.mean(lc_cov))
+        lm_cov = source.get("local_mapper_covariance_diag")
+        if lm_cov:
+            p.new_submap_rel_cov = float(np.mean(lm_cov))
+        cs = source.get("loop_closure_candidate_search")
+        if isinstance(cs, dict):
+            p.candidate_search = cs.get("type", p.candidate_search).upper()
+            p.candidate_distance_threshold_m = float(
+                cs.get("submap_distance_threshold_m",
+                       p.candidate_distance_threshold_m))
+            p.sc_dist_threshold = float(
+                cs.get("scan_context_dist_thres", p.sc_dist_threshold))
+        return p
 
 
 class GlobalMap:
@@ -97,6 +132,8 @@ class GlobalMap:
                                    cmeas.ids, cmeas.pixels_undistorted)
         for (t, q, p) in chunk.subtrajectory:
             sm.add_subframe_pose(t, q, p)
+        for (lm_id, X_w) in getattr(chunk, "landmarks", ()):
+            sm.add_landmark(lm_id, X_w)
         return completed
 
     def _initiate_new_submap_pose(self, txn: Transaction):

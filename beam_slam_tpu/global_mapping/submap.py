@@ -55,6 +55,11 @@ class Submap:
         self.camera_keyframes: List[CameraKeyframe] = []
         self.subframe_poses: Dict[float, Tuple[np.ndarray, np.ndarray]] = {}
         self.descriptor: Optional[np.ndarray] = None  # ScanContext
+        # landmark container (submap.h landmark storage / beam_containers
+        # LandmarkContainer): id → submap-frame position (+ optional BoW
+        # word id for retrieval)
+        self.landmarks: Dict[int, np.ndarray] = {}
+        self.landmark_words: Dict[int, int] = {}
 
     # -- ingest -------------------------------------------------------------
     def world_to_submap(self, q_wb, p_wb):
@@ -81,6 +86,21 @@ class Submap:
 
     def add_subframe_pose(self, stamp, q_wb, p_wb):
         self.subframe_poses[float(stamp)] = self.world_to_submap(q_wb, p_wb)
+
+    def point_world_to_submap(self, X_w):
+        q_sw = lie.quat_conj(jnp.asarray(self.q))
+        return np.asarray(lie.quat_rotate(
+            q_sw, jnp.asarray(X_w, jnp.float32) - jnp.asarray(self.p)))
+
+    def point_submap_to_world(self, X_s):
+        return np.asarray(jnp.asarray(self.p) + lie.quat_rotate(
+            jnp.asarray(self.q), jnp.asarray(X_s, jnp.float32)))
+
+    def add_landmark(self, lm_id: int, X_world, word: Optional[int] = None):
+        """Store a visual landmark (world position → submap frame)."""
+        self.landmarks[int(lm_id)] = self.point_world_to_submap(X_world)
+        if word is not None:
+            self.landmark_words[int(lm_id)] = int(word)
 
     # -- exports ------------------------------------------------------------
     def distance_to(self, p_wb) -> float:
@@ -110,6 +130,28 @@ class Submap:
             return z, zb, z, zb
         return (np.concatenate(es), np.concatenate(evs),
                 np.concatenate(ss), np.concatenate(svs))
+
+    def landmarks_world(self) -> np.ndarray:
+        """[N,3] world-frame landmark positions (GetKeypointsInWorldFrame
+        analog) — reflects the CURRENT submap pose estimate."""
+        if not self.landmarks:
+            return np.zeros((0, 3), np.float32)
+        X_s = np.stack(list(self.landmarks.values()))
+        return np.asarray(jnp.asarray(self.p)
+                          + lie.quat_rotate(jnp.asarray(self.q)[None],
+                                            jnp.asarray(X_s)), np.float32)
+
+    def lidar_points_world(self):
+        """All lidar feature points in the world frame
+        (GetLidarPointsInWorldFrame analog): ([N,3], valid [N])."""
+        e, ev, s, sv = self.aggregate_features_submap_frame()
+        pts = np.concatenate([e, s])
+        valid = np.concatenate([ev, sv])
+        if len(pts):
+            pts = np.asarray(jnp.asarray(self.p)
+                             + lie.quat_rotate(jnp.asarray(self.q)[None],
+                                               jnp.asarray(pts)), np.float32)
+        return pts, valid
 
     def trajectory_world(self):
         out = []
@@ -155,6 +197,12 @@ class Submap:
                 [self.subframe_poses[t][1] for t in ts])
         if self.descriptor is not None:
             arrays["descriptor"] = self.descriptor
+        if self.landmarks:
+            ids = sorted(self.landmarks)
+            arrays["lm_ids"] = np.asarray(ids, np.int64)
+            arrays["lm_pts"] = np.stack([self.landmarks[i] for i in ids])
+            arrays["lm_words"] = np.asarray(
+                [self.landmark_words.get(i, -1) for i in ids], np.int64)
         np.savez_compressed(os.path.join(directory, "data.npz"), **arrays)
 
     @staticmethod
@@ -182,4 +230,10 @@ class Submap:
                 sm.subframe_poses[float(t)] = (q, p)
         if "descriptor" in data:
             sm.descriptor = data["descriptor"]
+        if "lm_ids" in data:
+            for i, lm_id in enumerate(data["lm_ids"]):
+                sm.landmarks[int(lm_id)] = data["lm_pts"][i]
+                w = int(data["lm_words"][i])
+                if w >= 0:
+                    sm.landmark_words[int(lm_id)] = w
         return sm

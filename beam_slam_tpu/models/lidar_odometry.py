@@ -35,6 +35,8 @@ class SlamChunk(NamedTuple):
     features: Optional[FeatureCloud] = None
     camera_measurement: Optional[object] = None
     subtrajectory: Tuple = ()
+    # visual landmarks anchored at this keyframe: ((lm_id, X_world), ...)
+    landmarks: Tuple = ()
 
 
 @dataclasses.dataclass

@@ -58,21 +58,48 @@ class VOParams:
     max_correction_rot_deg: float = 30.0
     max_failures_before_reset: int = 10
 
+    @staticmethod
+    def from_json(source) -> "VOParams":
+        """Load a reference-style vo_params.json
+        (beam_slam_launch/config/vo/vo_params.json key names)."""
+        import json as _json
+        if isinstance(source, str):
+            with open(source) as f:
+                source = _json.load(f)
+        p = VOParams()
+        if source.get("use_idp"):
+            p.landmark_type = "IDP"
+        if "max_triangulation_reprojection" in source:
+            p.max_triangulation_reproj_px = float(
+                source["max_triangulation_reprojection"])
+        if "keyframe_parallax" in source:
+            p.keyframe_parallax_px = float(source["keyframe_parallax"])
+        if "keyframe_max_duration" in source:
+            p.keyframe_max_dt = float(source["keyframe_max_duration"])
+        if source.get("standalone_vo"):
+            p.standalone = True
+        return p
+
 
 class VisualOdometry:
     def __init__(self, smoother: FixedLagSmoother, camera: PinholeRadtan,
                  params: VOParams = VOParams(), sensor_name: str = "cam0",
                  trigger_cb: Optional[Callable[[float], None]] = None,
-                 frame_initializer: Optional[Callable] = None):
+                 frame_initializer: Optional[Callable] = None,
+                 chunk_cb: Optional[Callable] = None):
         """``frame_initializer(t) -> (q_wb, p_wb)`` provides the pose seed
         (IMU odometry through FrameInitializer in the reference);
-        ``trigger_cb(t)`` fires the inertial-odometry trigger per keyframe."""
+        ``trigger_cb(t)`` fires the inertial-odometry trigger per keyframe;
+        ``chunk_cb(SlamChunk)`` publishes expired keyframes (+ their camera
+        measurement and landmark positions) to the global mapper
+        (PublishSlamChunk, visual_odometry.cpp:1125)."""
         self.smoother = smoother
         self.camera = camera
         self.params = params
         self.sensor = sensor_name
         self.trigger_cb = trigger_cb
         self.frame_initializer = frame_initializer
+        self.chunk_cb = chunk_cb
         # standalone mode: the visual BA runs in a private graph; only
         # relative-pose factors reach the main smoother
         if params.standalone:
@@ -391,10 +418,25 @@ class VisualOdometry:
             self.smoother.send_transaction(txn)
         if self.trigger_cb is not None:
             self.trigger_cb(meas.stamp)
-        # bound host-side keyframe history to the smoother lag
+        # bound host-side keyframe history to the smoother lag; expired
+        # keyframes are published as SlamChunks for the global mapper
         horizon = meas.stamp - self.graph.cfg.lag_duration
         while self.keyframes and self.keyframes[0] < horizon:
             t0 = self.keyframes.pop(0)
-            self.kf_meas.pop(t0, None)
-            self.kf_pose.pop(t0, None)
+            kf_meas = self.kf_meas.pop(t0, None)
+            kf_pose = self.kf_pose.pop(t0, None)
+            if self.chunk_cb is not None and kf_pose is not None:
+                from beam_slam_tpu.models.lidar_odometry import SlamChunk
+                lms = []
+                if kf_meas is not None:
+                    for lm_id in kf_meas.ids:
+                        lm_id = int(lm_id)
+                        if self.graph.has_landmark(lm_id):
+                            X = self._landmark_world_point(lm_id)
+                            if X is not None:
+                                lms.append((lm_id, np.asarray(X,
+                                                              np.float32)))
+                self.chunk_cb(SlamChunk(
+                    stamp=t0, q_wb=kf_pose[0], p_wb=kf_pose[1],
+                    camera_measurement=kf_meas, landmarks=tuple(lms)))
         return True

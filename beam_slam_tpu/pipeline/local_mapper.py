@@ -87,7 +87,8 @@ class LocalMapper:
             self.vo = VisualOdometry(
                 self.smoother, cal.camera, config.vo, sensor_name="cam0",
                 trigger_cb=self._trigger,
-                frame_initializer=self._frame_init)
+                frame_initializer=self._frame_init,
+                chunk_cb=chunk_cb)
 
         init_params = config.init
         if config.mode == "VIO" and init_params.mode == "LIDAR":

@@ -157,3 +157,79 @@ def test_global_map_save_load(tmp_path):
     np.testing.assert_allclose(gm2.submaps[1].p, gm.submaps[1].p)
     assert len(gm2.submaps[0].lidar_keyframes) == \
         len(gm.submaps[0].lidar_keyframes)
+
+
+def test_submap_landmark_container_roundtrip(tmp_path):
+    """Submap landmark storage (submap.h landmark container): world→submap
+    frame conversion, world exports reflecting pose updates, save/load."""
+    import jax.numpy as jnp
+    from beam_slam_tpu.core import lie
+
+    q_ws = np.asarray(lie.so3_exp_quat(jnp.asarray([0, 0, 0.3])), np.float32)
+    p_ws = np.array([2.0, 1.0, 0.0], np.float32)
+    sm = Submap(1.0, q_ws, p_ws)
+    X1 = np.array([5.0, 2.0, 1.0], np.float32)
+    X2 = np.array([6.0, 3.0, -1.0], np.float32)
+    sm.add_landmark(7, X1, word=42)
+    sm.add_landmark(9, X2)
+    out = sm.landmarks_world()
+    np.testing.assert_allclose(out, np.stack([X1, X2]), atol=1e-5)
+    # submap pose update moves the world-frame landmarks rigidly
+    sm.p = p_ws + np.array([1.0, 0, 0], np.float32)
+    out2 = sm.landmarks_world()
+    np.testing.assert_allclose(out2 - out, 1.0 * np.array([[1, 0, 0]] * 2),
+                               atol=1e-5)
+    d = str(tmp_path / "sm")
+    sm.save(d)
+    sm2 = Submap.load(d)
+    assert set(sm2.landmarks) == {7, 9}
+    assert sm2.landmark_words == {7: 42}
+    np.testing.assert_allclose(sm2.landmarks[7], sm.landmarks[7], atol=1e-6)
+
+
+def test_global_map_routes_chunk_landmarks():
+    from beam_slam_tpu.models.lidar_odometry import SlamChunk
+
+    gm = GlobalMap(GlobalMapParams(submap_size_m=100.0, loop_closure=False))
+    chunk = SlamChunk(
+        stamp=0.0, q_wb=np.array([1, 0, 0, 0], np.float32),
+        p_wb=np.zeros(3, np.float32),
+        landmarks=((3, np.array([1.0, 2, 3], np.float32)),
+                   (5, np.array([4.0, 5, 6], np.float32))))
+    gm.add_measurement(chunk)
+    assert set(gm.submaps[0].landmarks) == {3, 5}
+    # active submap publishes them as world-frame visual map points
+    from beam_slam_tpu.global_mapping.active_submap import ActiveSubmap
+    a = ActiveSubmap()
+    a.update_from_submap(gm.submaps[0])
+    np.testing.assert_allclose(
+        sorted(a.get_visual_map_points().tolist()),
+        [[1, 2, 3], [4, 5, 6]], atol=1e-5)
+
+
+def test_global_map_params_from_reference_json():
+    import os
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs",
+                           "global_map")
+    p = GlobalMapParams.from_json(os.path.join(cfg_dir, "global_map.json"))
+    assert p.submap_size_m == 10.0
+    assert p.loop_closure is True
+    assert p.candidate_search == "EUCDIST"
+    assert abs(p.loop_closure_cov - 1e-5) < 1e-12
+    p2 = GlobalMapParams.from_json(dict(disable_loop_closure=True,
+        loop_closure_candidate_search=dict(type="SCANCONTEXT",
+                                           scan_context_dist_thres=0.25)))
+    assert p2.loop_closure is False
+    assert p2.candidate_search == "SCANCONTEXT"
+    assert p2.sc_dist_threshold == 0.25
+
+
+def test_vo_params_from_reference_json():
+    import os
+    from beam_slam_tpu.models.visual_odometry import VOParams
+    p = VOParams.from_json(os.path.join(
+        os.path.dirname(__file__), "..", "configs", "vo", "vo_params.json"))
+    assert p.landmark_type == "EUC"
+    assert p.max_triangulation_reproj_px == 5.0
+    p2 = VOParams.from_json(dict(use_idp=True, standalone_vo=True))
+    assert p2.landmark_type == "IDP" and p2.standalone
