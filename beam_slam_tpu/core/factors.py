@@ -613,6 +613,55 @@ class InverseDepthReprojectionFactors(FactorBatch):
         return A @ (jnp.stack([u, v]) - pixel)
 
 
+class InverseDepthUnaryReprojectionFactors(FactorBatch):
+    """Unary inverse-depth reprojection: the ANCHOR camera pose is a fixed
+    per-factor parameter (the anchor keyframe has been marginalized out of
+    the window), so only the measurement state, the extrinsic, and ρ are
+    optimized — bs_constraints/visual/inversedepth_reprojection_functor.h's
+    unary variant (completing component #19's binary+unary pair)."""
+
+    q_anchor: jnp.ndarray   # [F, 4] fixed T_WORLD_CAMERA_anchor rotation
+    p_anchor: jnp.ndarray   # [F, 3]
+    bearing: jnp.ndarray    # [F, 2]
+    pixel: jnp.ndarray      # [F, 2]
+    intr: jnp.ndarray       # [F, 4]
+    sqrt_info: jnp.ndarray  # [F, 2, 2]
+
+    BLOCKS = (BLOCK_IMU, BLOCK_EXTRINSIC, BLOCK_LANDMARK)
+    RESIDUAL_DIM = 2
+
+    @staticmethod
+    def zeros(F: int, dtype=jnp.float32) -> \
+            "InverseDepthUnaryReprojectionFactors":
+        return InverseDepthUnaryReprojectionFactors(
+            slots=jnp.zeros((F, 3), jnp.int32),
+            active=jnp.zeros((F,), bool),
+            q_anchor=lie.quat_identity((F,), dtype),
+            p_anchor=jnp.zeros((F, 3), dtype),
+            bearing=jnp.zeros((F, 2), dtype),
+            pixel=jnp.zeros((F, 2), dtype),
+            intr=jnp.tile(jnp.asarray([1.0, 1.0, 0.0, 0.0], dtype), (F, 1)),
+            sqrt_info=jnp.zeros((F, 2, 2), dtype))
+
+    def params(self):
+        return (self.q_anchor, self.p_anchor, self.bearing, self.pixel,
+                self.intr, self.sqrt_info)
+
+    def residual(self, block_states, params_one):
+        (q_m, p_m, *_), (q_bc, p_bc), (lm,) = block_states
+        q_wca, p_wca, bearing, pixel, intr, A = params_one
+        rho = jnp.maximum(lm[0], 1e-4)
+        q_wcm = lie.quat_mul(q_m, q_bc)
+        p_wcm = p_m + lie.quat_rotate(q_m, p_bc)
+        X_a = jnp.concatenate([bearing, jnp.ones(1, bearing.dtype)]) / rho
+        X_w = lie.quat_rotate(q_wca, X_a) + p_wca
+        X_m = lie.quat_rotate(lie.quat_conj(q_wcm), X_w - p_wcm)
+        z = jnp.maximum(X_m[2], 1e-3)
+        u = intr[0] * X_m[0] / z + intr[2]
+        v = intr[1] * X_m[1] / z + intr[3]
+        return A @ (jnp.stack([u, v]) - pixel)
+
+
 class GravityAlignmentFactors(FactorBatch):
     """2-dof roll/pitch alignment factor: xy components of R_WB⁻¹... mirrors
     bs_constraints/global/gravity_alignment_cost_functor.h:32-82 — the

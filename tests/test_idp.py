@@ -180,3 +180,56 @@ def test_vio_idp_e2e():
     assert sm.arena_reproj.active.sum() == 0, "no EUC factors in IDP mode"
     errs = np.asarray(errs)
     assert errs[-1] < 0.08 and np.median(errs) < 0.08, errs
+
+
+def test_unary_idp_reprojection_converges():
+    """Unary variant: anchor camera pose fixed as a parameter; measurement
+    pose + rho optimized (inversedepth_reprojection_functor.h unary)."""
+    intr = jnp.asarray([400.0, 400.0, 320.0, 240.0])
+    # anchor at origin; landmark at bearing (0.1, -0.05), depth 5
+    bearing = jnp.asarray([0.1, -0.05])
+    rho_gt = 0.2
+    X_w = jnp.concatenate([bearing, jnp.ones(1)]) / rho_gt
+    # measurement keyframe at a translated pose
+    q_m = lie.so3_exp_quat(jnp.asarray([0.0, 0.02, 0.0]))
+    p_m = jnp.asarray([0.5, 0.1, 0.0])
+    X_c = lie.quat_rotate(lie.quat_conj(q_m), X_w - p_m)
+    pix = jnp.asarray([400.0 * X_c[0] / X_c[2] + 320.0,
+                       400.0 * X_c[1] / X_c[2] + 240.0])
+
+    K = 2
+    window = WindowState.zeros(K, E=1, L=2)
+    window = window.replace(
+        imu=window.imu.replace(
+            q=window.imu.q.at[0].set(lie.quat_mul(q_m, lie.so3_exp_quat(
+                jnp.asarray([0.01, -0.01, 0.02])))),
+            p=window.imu.p.at[0].set(p_m + jnp.asarray([0.05, -0.04, 0.03])),
+            active=window.imu.active.at[0].set(True)),
+        extrinsics=window.extrinsics.replace(
+            active=window.extrinsics.active.at[0].set(True),
+            held=window.extrinsics.held.at[0].set(True)),
+        landmarks=window.landmarks.replace(
+            pt=window.landmarks.pt.at[0].set(
+                jnp.asarray([rho_gt * 1.3, 0, 0])),
+            active=window.landmarks.active.at[0].set(True)))
+
+    fam = fc.InverseDepthUnaryReprojectionFactors.zeros(4)
+    fam = fam.replace(
+        slots=fam.slots.at[0].set(jnp.asarray([0, 0, 0])),
+        active=fam.active.at[0].set(True),
+        bearing=fam.bearing.at[0].set(bearing),
+        pixel=fam.pixel.at[0].set(pix),
+        intr=fam.intr.at[0].set(intr),
+        sqrt_info=fam.sqrt_info.at[0].set(jnp.eye(2)))
+    # a weak pose prior pins the gauge; rho + pose refine jointly
+    prior = fc.AbsolutePoseFactors.zeros(1)
+    prior = prior.replace(
+        slots=prior.slots.at[0, 0].set(0),
+        active=prior.active.at[0].set(True),
+        q0=prior.q0.at[0].set(q_m), p0=prior.p0.at[0].set(p_m),
+        sqrt_info=prior.sqrt_info.at[0].set(1e3 * jnp.eye(6)))
+    out, diag = gn.solve(window, (fam, prior), (None, None),
+                         gn.SolverOptions(max_iterations=15))
+    assert float(diag.final_cost) < 1e-6
+    rho_est = float(out.landmarks.pt[0, 0])
+    assert abs(rho_est - rho_gt) < 1e-3, rho_est
