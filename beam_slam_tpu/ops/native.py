@@ -45,6 +45,8 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.organize_scan.restype = ctypes.c_int
             lib.voxel_downsample.restype = ctypes.c_int
             lib.interp_positions.restype = None
+            lib.index_log.restype = ctypes.c_int64
+            lib.decode_imu_batch.restype = None
             _lib = lib
         except Exception:
             _build_failed = True
@@ -134,3 +136,39 @@ def interp_positions(traj_t: np.ndarray, traj_p: np.ndarray,
         return out
     out = np.stack([np.interp(qt, tt, tp[:, k]) for k in range(3)], axis=1)
     return out.astype(np.float32)
+
+
+def index_log_native(buf: bytes):
+    """Index a sensor log buffer: (types u8[N], stamps f64[N],
+    offsets i64[N], sizes i64[N]) or None without the native lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    arr = np.frombuffer(buf, np.uint8)
+    max_records = max(len(buf) // 13, 1)
+    types = np.zeros(max_records, np.uint8)
+    stamps = np.zeros(max_records, np.float64)
+    offsets = np.zeros(max_records, np.int64)
+    sizes = np.zeros(max_records, np.int64)
+    n = lib.index_log(_ptr(arr, ctypes.c_uint8), ctypes.c_int64(len(buf)),
+                      _ptr(types, ctypes.c_uint8),
+                      _ptr(stamps, ctypes.c_double),
+                      _ptr(offsets, ctypes.c_int64),
+                      _ptr(sizes, ctypes.c_int64),
+                      ctypes.c_int64(max_records))
+    return types[:n], stamps[:n], offsets[:n], sizes[:n]
+
+
+def decode_imu_batch_native(buf: bytes, offsets: np.ndarray):
+    """[N,6] float32 (w, a) rows gathered from IMU record payloads."""
+    lib = _load()
+    if lib is None:
+        return None
+    arr = np.frombuffer(buf, np.uint8)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    out = np.zeros((len(offsets), 6), np.float32)
+    lib.decode_imu_batch(_ptr(arr, ctypes.c_uint8),
+                         _ptr(offsets, ctypes.c_int64),
+                         ctypes.c_int(len(offsets)),
+                         _ptr(out, ctypes.c_float))
+    return out

@@ -124,4 +124,46 @@ void interp_positions(const double* traj_t, const float* traj_p, int n,
   }
 }
 
+// --- binary sensor-log data loader (pipeline/sensor_log.py format) -------
+//
+// Record framing after the 6-byte header (magic "BSLG" + u16 version):
+//   u8 type | f64 stamp | u32 payload_len | payload  (little endian, packed)
+//
+// index_log scans the whole buffer once and returns per-record
+// (type, stamp, payload_offset, payload_len) — the rosbag-index analog that
+// makes replay seeks and type filters O(records) with no Python-loop
+// per-record overhead.
+int64_t index_log(const uint8_t* buf, int64_t n, uint8_t* out_types,
+                  double* out_stamps, int64_t* out_offsets,
+                  int64_t* out_sizes, int64_t max_records) {
+  int64_t pos = 6;  // header
+  int64_t count = 0;
+  while (pos + 13 <= n && count < max_records) {
+    uint8_t type = buf[pos];
+    double stamp;
+    uint32_t len;
+    std::memcpy(&stamp, buf + pos + 1, 8);
+    std::memcpy(&len, buf + pos + 9, 4);
+    int64_t payload = pos + 13;
+    if (payload + (int64_t)len > n) break;  // truncated tail
+    out_types[count] = type;
+    out_stamps[count] = stamp;
+    out_offsets[count] = payload;
+    out_sizes[count] = (int64_t)len;
+    ++count;
+    pos = payload + len;
+  }
+  return count;
+}
+
+// Gather IMU payloads ([wx wy wz ax ay az] f32) at the given offsets into
+// contiguous arrays — bulk ingestion for 200 Hz streams.
+void decode_imu_batch(const uint8_t* buf, const int64_t* offsets, int n,
+                      float* out_wa) {
+  for (int i = 0; i < n; ++i) {
+    std::memcpy(out_wa + (size_t)i * 6, buf + offsets[i],
+                sizeof(float) * 6);
+  }
+}
+
 }  // extern "C"

@@ -65,3 +65,35 @@ def test_interp_positions_matches_numpy(rng):
     out = native.interp_positions(tt, tp, qt)
     ref = np.stack([np.interp(qt, tt, tp[:, k]) for k in range(3)], axis=1)
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_native_log_index_and_imu_batch(tmp_path):
+    """Native data-loader path: C++ log indexer + bulk IMU decoder agree
+    with the pure-Python framing."""
+    import os
+    from beam_slam_tpu.pipeline import sensor_log as sl
+    from beam_slam_tpu.ops import native as native_mod
+
+    path = os.path.join(tmp_path, "x.bslg")
+    with sl.SensorLogWriter(path) as w:
+        for i in range(50):
+            w.add_imu(0.01 * i, [0.1, 0.2, 0.3 + i], [1.0, 2.0, 3.0 - i])
+        w.add_pose(0.5, [1, 0, 0, 0], [1.0, 2, 3])
+    types, stamps, offsets, sizes, buf = sl.index_log(path)
+    assert (types == sl.T_IMU).sum() == 50
+    assert (types == sl.T_POSE).sum() == 1
+    # streamed records agree with the indexed view
+    streamed = list(sl._read_log_streaming(path))
+    assert len(streamed) == len(types)
+    for (rt, st, _), ti, si in zip(streamed, types, stamps):
+        assert rt == ti and abs(st - si) < 1e-12
+    # bulk IMU decode
+    t, wvals, avals = sl.imu_batch(path)
+    assert t.shape == (50,)
+    np.testing.assert_allclose(wvals[:, 2], 0.3 + np.arange(50), rtol=1e-6)
+    np.testing.assert_allclose(avals[:, 2], 3.0 - np.arange(50), rtol=1e-6)
+    if native_mod.native_available():
+        # the native indexer really ran (same answers as fallback already
+        # asserted above)
+        out = native_mod.index_log_native(buf)
+        assert out is not None and len(out[0]) == len(types)
