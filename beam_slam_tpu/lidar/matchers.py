@@ -40,11 +40,9 @@ class MatchResult(NamedTuple):
 
 
 def _knn(query, ref, ref_valid, k):
-    d2 = (jnp.sum(query * query, axis=1, keepdims=True)
-          + jnp.sum(ref * ref, axis=1)[None, :] - 2.0 * query @ ref.T)
-    d2 = jnp.where(ref_valid[None, :], d2, jnp.inf)
-    neg, idx = jax.lax.top_k(-d2, k)
-    return idx, -neg
+    from beam_slam_tpu.ops.pallas_knn import knn_topk
+    idx, d = knn_topk(query, ref, ref_valid, k)
+    return idx, d
 
 
 def _gn_register(src, src_valid, residual_geom_fn, q0, p0,

@@ -59,13 +59,11 @@ class RegistrationResult(NamedTuple):
 
 def _knn(query: jnp.ndarray, q_valid, ref: jnp.ndarray, ref_valid, k: int):
     """Brute-force k-NN: returns (idx [Nq,k], dist2 [Nq,k]). Invalid refs are
-    pushed to +inf distance."""
-    d2 = (jnp.sum(query * query, axis=1, keepdims=True)
-          + jnp.sum(ref * ref, axis=1)[None, :]
-          - 2.0 * query @ ref.T)
-    d2 = jnp.where(ref_valid[None, :], d2, jnp.inf)
-    neg, idx = jax.lax.top_k(-d2, k)
-    return idx, -neg
+    pushed to +inf distance. Dispatches through ops.pallas_knn (XLA
+    matmul+top_k by default; the fused Pallas kernel via
+    BEAM_SLAM_KNN_BACKEND=pallas)."""
+    from beam_slam_tpu.ops.pallas_knn import knn_topk
+    return knn_topk(query, ref, ref_valid, k)
 
 
 def _edge_residuals(pts_map, pts_valid, map_edges, map_valid,
