@@ -186,6 +186,21 @@ class SLAMInitialization:
         # prune path to IMU coverage (:374 InterpolateVisualMeasurements adj.)
         imu_t = np.asarray(self.imu_t)
         path = [p for p in path if imu_t[0] < p[0] <= imu_t[-1]]
+        # prune to keyframe spacing + the smoother's state capacity (the
+        # reference's path is already keyframes; a dense FRAMEINIT pose
+        # stream must not ignite more states than the window can hold)
+        spaced = []
+        for p in path:
+            if not spaced or p[0] - spaced[-1][0] \
+                    >= self.params.keyframe_spacing_s - 1e-9:
+                spaced.append(p)
+        if path and (not spaced or spaced[-1][0] != path[-1][0]):
+            spaced.append(path[-1])
+        path = spaced
+        cap = max(self.smoother.cfg.max_states - 2, 3)
+        if len(path) > cap:
+            idx = np.linspace(0, len(path) - 1, cap).astype(int)
+            path = [path[i] for i in sorted(set(idx.tolist()))]
         if len(path) < 3:
             return False
         stamps = np.asarray([p[0] for p in path])

@@ -82,13 +82,20 @@ class LocalMapperConfig:
         default_factory=CalibrationConfig)
 
     def smoother_config(self) -> SmootherConfig:
+        # right-size the factor arenas to the pipeline: every allocated
+        # capacity is linearized each LM iteration whether occupied or not
+        # (static shapes), so a LIO graph must not pay for vision arenas
+        use_cam = self.mode in ("VIO", "LVIO")
+        use_idp = use_cam and self.vo.landmark_type == "IDP"
         return SmootherConfig(
             lag_duration=self.lag_duration,
             optimization_period=self.optimization_period,
             pseudo_marginalization=self.pseudo_marginalization,
             max_states=self.max_states,
-            max_landmarks=self.max_landmarks,
-            max_reprojection_factors=self.max_reprojection_factors,
+            max_landmarks=self.max_landmarks if use_cam else 1,
+            max_reprojection_factors=(self.max_reprojection_factors
+                                      if use_cam else 1),
+            max_idp_factors=512 if use_idp else 1,
             cauchy_loss_rel_pose=1.0,
             solver=gn.SolverOptions(max_iterations=self.max_iterations),
         )

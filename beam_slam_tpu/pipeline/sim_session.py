@@ -65,7 +65,10 @@ def run_synthetic_session(mode: str = "LVIO", duration_s: float = 20.0,
     scene = scene if scene is not None else synthetic_structured_scene(
         n_rings=16, width=504)
     use_cam = mode in ("VIO", "LVIO")
-    use_lidar = mode in ("LIO", "LVIO", "VIO")  # VIO inits from lidar path
+    # VIO: no lidar at all — SLAM init falls back to FRAMEINIT, driven by an
+    # external odometry pose stream (fed below), matching the reference's
+    # frame-initializer config for camera-only pipelines
+    use_lidar = mode in ("LIO", "LVIO")
     n_lm = 120
     lms = np.stack([rng.uniform(4, 11, n_lm), rng.uniform(-4.5, 4.5, n_lm),
                     rng.uniform(-2.2, 2.2, n_lm)], axis=1).astype(np.float32)
@@ -127,6 +130,15 @@ def run_synthetic_session(mode: str = "LVIO", duration_s: float = 20.0,
         if use_lidar and (not use_cam
                           or k % max(int(tick_hz / lidar_hz), 1) == 0):
             mapper.on_scan(round(t, 6), scan_from_pose(q_gt, p_gt))
+        if not use_lidar:
+            # external odometry for FRAMEINIT (noisy GT poses)
+            qn = lie.quat_mul(jnp.asarray(q_gt), lie.so3_exp_quat(
+                jnp.asarray(rng.standard_normal(3).astype(np.float32)
+                            * 0.002)))
+            mapper.on_pose(round(t, 6), np.asarray(qn),
+                           np.asarray(p_gt)
+                           + rng.standard_normal(3).astype(np.float32)
+                           * 0.005)
         if use_cam and mapper.initialized:
             ids, pix = camera_obs(q_gt, p_gt)
             mapper.on_camera_measurement(

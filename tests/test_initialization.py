@@ -115,9 +115,10 @@ def test_frameinit_ignition_flow():
     assert done, "on_initialized callback"
     np.testing.assert_allclose(done["bg"], bg_true, atol=3e-3)
 
-    # graph populated with the aligned path; IMU factors present
+    # graph populated with the aligned path (pruned to keyframe_spacing_s,
+    # so the 0.4 s pose stream ignites every other pose); IMU factors present
     stamps = sm.current_stamps()
-    assert len(stamps) >= 5
+    assert len(stamps) >= 4
     assert sm.arena_imu.active.sum() >= len(stamps) - 2
     # aligned world: per-state gravity direction must be ≈ [0,0,-1] in world,
     # i.e. the optimized orientations must match the *unrotated* GT up to a
