@@ -24,8 +24,8 @@ import jax.numpy as jnp
 from flax import struct
 
 from beam_slam_tpu.core import lie
-from beam_slam_tpu.core.window import (IMU_DOF, LANDMARK_DOF, POSE_DOF,
-                                       WindowState)
+from beam_slam_tpu.core.window import (IMU_DOF, LANDMARK_DOF, MOTION_DOF,
+                                       POSE_DOF, WindowState)
 
 # Gravity in the world frame, matching bs_common/include/bs_common/utils.h:20-24
 # (GRAVITY_WORLD = [0, 0, -9.80665]).
@@ -36,9 +36,10 @@ GRAVITY_WORLD = jnp.asarray([0.0, 0.0, -GRAVITY_NOMINAL])
 BLOCK_IMU = "imu"            # 15-dof ImuStates slot
 BLOCK_EXTRINSIC = "extrinsic"  # 6-dof Poses slot
 BLOCK_LANDMARK = "landmark"    # 3-dof Landmarks slot
+BLOCK_MOTION = "motion"        # 6-dof MotionStates slot (ω, a)
 
 _BLOCK_DOF = {BLOCK_IMU: IMU_DOF, BLOCK_EXTRINSIC: POSE_DOF,
-              BLOCK_LANDMARK: LANDMARK_DOF}
+              BLOCK_LANDMARK: LANDMARK_DOF, BLOCK_MOTION: MOTION_DOF}
 
 
 def block_dof(kind: str) -> int:
@@ -54,6 +55,9 @@ def _gather_block(window: WindowState, kind: str, idx: jnp.ndarray):
         return (s.q[idx], s.p[idx])
     if kind == BLOCK_LANDMARK:
         return (window.landmarks.pt[idx],)
+    if kind == BLOCK_MOTION:
+        s = window.motion
+        return (s.w[idx], s.a[idx])
     raise ValueError(kind)
 
 
@@ -64,6 +68,8 @@ def _block_active(window: WindowState, kind: str, idx: jnp.ndarray):
         return window.extrinsics.active[idx]
     if kind == BLOCK_LANDMARK:
         return window.landmarks.active[idx]
+    if kind == BLOCK_MOTION:
+        return window.motion.active[idx]
     raise ValueError(kind)
 
 
@@ -77,6 +83,9 @@ def _retract_block(kind: str, state, d):
         return (lie.quat_mul(q, lie.so3_exp_quat(d[0:3])), p + d[3:6])
     if kind == BLOCK_LANDMARK:
         return (state[0] + d,)
+    if kind == BLOCK_MOTION:
+        w, a = state
+        return (w + d[0:3], a + d[3:6])
     raise ValueError(kind)
 
 
@@ -198,10 +207,14 @@ class FactorBatch(struct.PyTreeNode):
         # Global dense column indices for the dense blocks.
         cols = []
         K_imu = window.imu.capacity
+        E_ext = window.extrinsics.capacity
         for b, k in enumerate(dense_blocks):
             d = block_dof(k)
             if k == BLOCK_IMU:
                 base = self.slots[:, b] * IMU_DOF
+            elif k == BLOCK_MOTION:
+                base = (K_imu * IMU_DOF + E_ext * POSE_DOF
+                        + self.slots[:, b] * MOTION_DOF)
             else:  # BLOCK_EXTRINSIC
                 base = K_imu * IMU_DOF + self.slots[:, b] * POSE_DOF
             cols.append(base[:, None] + jnp.arange(d, dtype=jnp.int32)[None, :])
@@ -503,6 +516,64 @@ class ConstantVelocityFactors(FactorBatch):
         r_p = p_j - (p_i + dt * v_i)
         r_v = v_j - v_i
         return A @ jnp.concatenate([r_q, r_p, r_v])
+
+
+class Unicycle3DFactors(FactorBatch):
+    """Full-state Unicycle3D kinematic factor — the faithful counterpart of
+    the reference's 5-blocks-per-pose motion constraint
+    (bs_constraints/motion/unicycle_3d_state_cost_functor.h:70-141 +
+    unicycle_3d_predict.h:49-147). The reference carries separate
+    VelocityAngular3DStamped / AccelerationLinear3DStamped fuse variables;
+    here those live in the window's :class:`MotionStates` block (ω, a in the
+    body frame), one slot per pose.
+
+    Kinematics (reference predict(), re-derived on SO(3) instead of
+    Euler-rate integration — the residual vanishes on the same
+    constant-twist motions):
+
+        q_pred = q_i ⊗ Exp(ω_i·dt)
+        p_pred = p_i + v_i·dt + ½·R(q_i)·a_i·dt²
+        v_pred = v_i + R(q_i)·a_i·dt          (v world-frame, a body-frame)
+        ω_pred = ω_i,  a_pred = a_i
+
+    15-dof whitened residual, ordered [rot(3), pos(3), vel(3), ω(3), a(3)]
+    (the reference orders [pos, rpy, vel, ω, a]; A must be given in our
+    order):
+
+        r = A · [ Log(q_pred⁻¹ q_j), p_j − p_pred, v_j − v_pred,
+                  ω_j − ω_i, a_j − a_i ]
+    """
+
+    dt: jnp.ndarray         # [F]
+    sqrt_info: jnp.ndarray  # [F, 15, 15]
+
+    BLOCKS = (BLOCK_IMU, BLOCK_MOTION, BLOCK_IMU, BLOCK_MOTION)
+    RESIDUAL_DIM = 15
+
+    @staticmethod
+    def zeros(F: int, dtype=jnp.float32) -> "Unicycle3DFactors":
+        return Unicycle3DFactors(
+            slots=jnp.zeros((F, 4), jnp.int32),
+            active=jnp.zeros((F,), bool),
+            dt=jnp.zeros((F,), dtype),
+            sqrt_info=jnp.zeros((F, 15, 15), dtype),
+        )
+
+    def params(self):
+        return (self.dt, self.sqrt_info)
+
+    def residual(self, block_states, params_one):
+        ((q_i, p_i, v_i, *_), (w_i, a_i),
+         (q_j, p_j, v_j, *_), (w_j, a_j)) = block_states
+        dt, A = params_one
+        a_world = lie.quat_rotate(q_i, a_i)
+        q_pred = lie.quat_mul(q_i, lie.so3_exp_quat(w_i * dt))
+        r_q = lie.so3_log(lie.quat_mul(lie.quat_conj(q_pred), q_j))
+        r_p = p_j - (p_i + v_i * dt + 0.5 * a_world * dt * dt)
+        r_v = v_j - (v_i + a_world * dt)
+        r_w = w_j - w_i
+        r_a = a_j - a_i
+        return A @ jnp.concatenate([r_q, r_p, r_v, r_w, r_a])
 
 
 class ReprojectionFactors(FactorBatch):

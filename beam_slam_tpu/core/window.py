@@ -26,6 +26,7 @@ from beam_slam_tpu.core import lie
 IMU_DOF = 15
 POSE_DOF = 6
 LANDMARK_DOF = 3
+MOTION_DOF = 6
 
 
 @struct.dataclass
@@ -133,26 +134,66 @@ class Landmarks:
 
 
 @struct.dataclass
+class MotionStates:
+    """Capacity-M SoA of kinematic auxiliary states for the full Unicycle3D
+    motion model: body-frame angular velocity ω and linear acceleration a.
+
+    The reference's unicycle carries these as separate fuse variables
+    (VelocityAngular3DStamped / AccelerationLinear3DStamped — 5 blocks per
+    pose, bs_constraints/motion/unicycle_3d_state_cost_functor.h). Our IMU
+    states hold neither, so the full-state kinematic factor references one
+    MotionStates slot per pose. Tangent: [dω(3), da(3)] (plain addition)."""
+
+    w: jnp.ndarray   # [M, 3] angular velocity, body frame
+    a: jnp.ndarray   # [M, 3] linear acceleration, body frame
+    active: jnp.ndarray  # [M]
+    held: jnp.ndarray    # [M]
+
+    @property
+    def capacity(self) -> int:
+        return self.w.shape[0]
+
+    @staticmethod
+    def zeros(M: int, dtype=jnp.float32) -> "MotionStates":
+        return MotionStates(
+            w=jnp.zeros((M, 3), dtype),
+            a=jnp.zeros((M, 3), dtype),
+            active=jnp.zeros((M,), bool),
+            held=jnp.zeros((M,), bool),
+        )
+
+    def retract(self, delta: jnp.ndarray) -> "MotionStates":
+        return self.replace(w=self.w + delta[..., 0:3],
+                            a=self.a + delta[..., 3:6])
+
+
+@struct.dataclass
 class WindowState:
     """Full optimizable state of one fixed-lag window: IMU states +
-    extrinsics (+ landmarks, Schur-eliminated in the solver)."""
+    extrinsics + kinematic aux states (+ landmarks, Schur-eliminated in the
+    solver). Dense dof layout: [imu K·15 | extrinsics E·6 | motion M·6]."""
 
     imu: ImuStates
     extrinsics: Poses
     landmarks: Landmarks
+    motion: MotionStates
 
     @staticmethod
-    def zeros(K: int, E: int = 1, L: int = 0, dtype=jnp.float32) -> "WindowState":
+    def zeros(K: int, E: int = 1, L: int = 0, M: int = 1,
+              dtype=jnp.float32) -> "WindowState":
         return WindowState(
             imu=ImuStates.zeros(K, dtype),
             extrinsics=Poses.zeros(E, dtype),
             landmarks=Landmarks.zeros(max(L, 1), dtype),
+            motion=MotionStates.zeros(max(M, 1), dtype),
         )
 
     # ---- dense dof layout (landmarks excluded: Schur-eliminated) ----
     @property
     def num_dense_dof(self) -> int:
-        return self.imu.capacity * IMU_DOF + self.extrinsics.capacity * POSE_DOF
+        return (self.imu.capacity * IMU_DOF
+                + self.extrinsics.capacity * POSE_DOF
+                + self.motion.capacity * MOTION_DOF)
 
     def imu_dof_offset(self) -> int:
         return 0
@@ -160,21 +201,31 @@ class WindowState:
     def extrinsic_dof_offset(self) -> int:
         return self.imu.capacity * IMU_DOF
 
+    def motion_dof_offset(self) -> int:
+        return (self.imu.capacity * IMU_DOF
+                + self.extrinsics.capacity * POSE_DOF)
+
     def retract_dense(self, delta: jnp.ndarray) -> "WindowState":
         """delta: [num_dense_dof] → updated window (landmarks untouched)."""
         K, E = self.imu.capacity, self.extrinsics.capacity
-        d_imu = delta[: K * IMU_DOF].reshape(K, IMU_DOF)
-        d_ext = delta[K * IMU_DOF: K * IMU_DOF + E * POSE_DOF].reshape(E, POSE_DOF)
+        M = self.motion.capacity
+        o_ext = K * IMU_DOF
+        o_mot = o_ext + E * POSE_DOF
+        d_imu = delta[:o_ext].reshape(K, IMU_DOF)
+        d_ext = delta[o_ext:o_mot].reshape(E, POSE_DOF)
+        d_mot = delta[o_mot:o_mot + M * MOTION_DOF].reshape(M, MOTION_DOF)
         return self.replace(
             imu=self.imu.retract(d_imu),
             extrinsics=self.extrinsics.retract(d_ext),
+            motion=self.motion.retract(d_mot),
         )
 
     def dense_free_mask(self) -> jnp.ndarray:
         """[num_dense_dof] bool — dof that are free to move (active & !held)."""
         imu_free = jnp.repeat(self.imu.active & ~self.imu.held, IMU_DOF)
         ext_free = jnp.repeat(self.extrinsics.active & ~self.extrinsics.held, POSE_DOF)
-        return jnp.concatenate([imu_free, ext_free])
+        mot_free = jnp.repeat(self.motion.active & ~self.motion.held, MOTION_DOF)
+        return jnp.concatenate([imu_free, ext_free, mot_free])
 
 
 def gather_imu(states: ImuStates, idx: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:

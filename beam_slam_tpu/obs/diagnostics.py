@@ -93,6 +93,11 @@ class SmootherDiagnostics:
             staleness_s=self.staleness_s(),
             solve_count=self.smoother.solve_count,
             total_solve_time_s=self.smoother.total_solve_time,
+            # robustness protocol counters (drops/scrubs/evictions/
+            # downshifts) + the last cycle's blacklisted sensors
+            **getattr(self.smoother, "counters", {}),
+            blacklisted_sensors=sorted(
+                getattr(self.smoother, "blacklisted_sensors", ())),
         )
         if d is not None:
             out.update(

@@ -98,18 +98,33 @@ def knn_topk(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
              interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k nearest refs per query point: (idx [Q,k], d2 [Q,k]). Invalid refs
     surface as ~1e10 distances (sentinel hits) — gate with max_corr_dist.
-    ``backend``: "pallas" | "xla" | "auto" (pallas on TPU)."""
+
+    ``backend``:
+      * "xla" (the "auto" default) — one distance matmul + TPU-native
+        ``approx_max_k`` (per-element recall ≥ ~0.95; exact on backends
+        without the TPU PartialReduce op). Measured at the registration
+        shapes (Q=6144, R=61440, k=10): 0.74 ms vs 18.5 ms for the exact
+        sort-based ``top_k`` — the correspondence search only feeds
+        line/plane *fits*, which are insensitive to an occasionally
+        swapped 9th/10th neighbor;
+      * "xla_exact" — matmul + exact ``top_k`` (the reference-fidelity
+        kd-tree-equivalent path; used by the agreement tests);
+      * "pallas" — the fused kernel below.
+    """
     if backend == "auto":
         import os
         backend = os.environ.get("BEAM_SLAM_KNN_BACKEND", "xla")
         if backend == "pallas" and jax.default_backend() != "tpu":
             backend = "xla"
-    if backend == "xla" and not interpret:
+    if backend in ("xla", "xla_exact") and not interpret:
         d2 = (jnp.sum(query * query, axis=1, keepdims=True)
               + jnp.sum(ref * ref, axis=1)[None, :]
               - 2.0 * query @ ref.T)
         d2 = jnp.where(ref_valid[None, :], d2, jnp.inf)
-        neg, idx = jax.lax.top_k(-d2, k)
+        if backend == "xla" and jax.default_backend() == "tpu":
+            neg, idx = jax.lax.approx_max_k(-d2, k)
+        else:
+            neg, idx = jax.lax.top_k(-d2, k)
         return idx, -neg
 
     Q = query.shape[0]

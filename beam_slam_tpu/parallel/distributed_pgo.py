@@ -206,17 +206,19 @@ def _damped_solve(H, g, lam, free_dof):
 
 
 def _lm_loop(state: PGOState, factors: PGOFactors, priors: PGOPriors,
-             n_iter: int):
+             n_iter: int, axes=AXIS):
     """Runs INSIDE shard_map: factors/priors are this shard's slice, state
-    is replicated. One psum of (H, g, cost) per iteration."""
+    is replicated. One psum of (H, g, cost) per iteration. ``axes`` may be
+    a tuple (hybrid DCN×ICI mesh): XLA lowers the psum hierarchically —
+    reduce within the fast ICI axis first, then once across DCN."""
     N = state.q.shape[0]
     free_dof = jnp.repeat(state.free, POSE_DOF)
 
     def assemble(st):
         H, g, cost = _local_normal_eqs(st, factors, priors)
-        H = jax.lax.psum(H, AXIS)
-        g = jax.lax.psum(g, AXIS)
-        cost = jax.lax.psum(cost, AXIS)
+        H = jax.lax.psum(H, axes)
+        g = jax.lax.psum(g, axes)
+        cost = jax.lax.psum(cost, axes)
         return H, g, cost
 
     H0, g0, c0 = assemble(state)
@@ -264,12 +266,13 @@ def pad_priors(priors: PGOPriors, n_shards: int) -> PGOPriors:
             [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]), priors)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "n_iter"))
-def _solve_impl(state, factors, priors, mesh: Mesh, n_iter: int):
+@functools.partial(jax.jit, static_argnames=("mesh", "n_iter", "axes"))
+def _solve_impl(state, factors, priors, mesh: Mesh, n_iter: int,
+                axes=AXIS):
     fn = jax.shard_map(
-        functools.partial(_lm_loop, n_iter=n_iter),
+        functools.partial(_lm_loop, n_iter=n_iter, axes=axes),
         mesh=mesh,
-        in_specs=(P(), P(AXIS), P(AXIS)),
+        in_specs=(P(), P(axes), P(axes)),
         out_specs=(P(), P(), P()),
         check_vma=False)
     return fn(state, factors, priors)
@@ -287,6 +290,24 @@ def solve_distributed(mesh: Mesh, state: PGOState, factors: PGOFactors,
     priors = jax.device_put(priors, NamedSharding(mesh, P(AXIS)))
     state = jax.device_put(state, NamedSharding(mesh, P()))
     return _solve_impl(state, factors, priors, mesh, n_iter)
+
+
+def solve_distributed_hybrid(mesh: Mesh, state: PGOState,
+                             factors: PGOFactors, priors: PGOPriors,
+                             n_iter: int = 20):
+    """Coupled distributed LM over a 2D (DCN-host × ICI-chip) mesh — the
+    multi-host tier (:mod:`beam_slam_tpu.parallel.multihost` builds the
+    mesh and the locality-preserving factor order). Factors are sharded
+    over BOTH axes; the per-iteration global reduction happens
+    hierarchically (ICI inside a host, one DCN hop across hosts)."""
+    axes = tuple(mesh.axis_names)
+    n_shards = int(np.prod(list(mesh.shape.values())))
+    factors = pad_factors(factors, n_shards)
+    priors = pad_priors(priors, n_shards)
+    factors = jax.device_put(factors, NamedSharding(mesh, P(axes)))
+    priors = jax.device_put(priors, NamedSharding(mesh, P(axes)))
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    return _solve_impl(state, factors, priors, mesh, n_iter, axes)
 
 
 def solve_single(state: PGOState, factors: PGOFactors, priors: PGOPriors,

@@ -159,11 +159,12 @@ def assemble_normal_equations_dense(
     :func:`assemble_normal_equations`.
     """
     from beam_slam_tpu.core import factors as fc
-    from beam_slam_tpu.core.window import IMU_DOF, POSE_DOF
+    from beam_slam_tpu.core.window import IMU_DOF, MOTION_DOF, POSE_DOF
 
     D = window.num_dense_dof
     K = window.imu.capacity
     E = window.extrinsics.capacity
+    M = window.motion.capacity
     L = window.landmarks.capacity
     dtype = window.imu.q.dtype
     H_ll = jnp.zeros((L, 3, 3), dtype)
@@ -181,13 +182,15 @@ def assemble_normal_equations_dense(
         r = r * sw[:, None]
         J = J * sw[:, None, None]
 
-        # expand local dense blocks into [F, R, K*15] and [F, R, E*6] regions
+        # expand local dense blocks into [F, R, K*15], [F, R, E*6] and
+        # [F, R, M*6] regions
         blocks = [k for k in type(fam).BLOCKS if k != fc.BLOCK_LANDMARK]
         J_imu = None
         J_ext = None
+        J_mot = None
         o = 0
         for b, kind in enumerate(blocks):
-            d = IMU_DOF if kind == fc.BLOCK_IMU else POSE_DOF
+            d = fc.block_dof(kind)
             Jb = J[:, :, o:o + d]
             o += d
             sl = fam.slots[:, b]
@@ -195,6 +198,10 @@ def assemble_normal_equations_dense(
                 oh = jax.nn.one_hot(sl, K, dtype=dtype)
                 part = jnp.einsum("frd,fk->frkd", Jb, oh)
                 J_imu = part if J_imu is None else J_imu + part
+            elif kind == fc.BLOCK_MOTION:
+                oh = jax.nn.one_hot(sl, M, dtype=dtype)
+                part = jnp.einsum("frd,fk->frkd", Jb, oh)
+                J_mot = part if J_mot is None else J_mot + part
             else:
                 oh = jax.nn.one_hot(sl, E, dtype=dtype)
                 part = jnp.einsum("frd,fk->frkd", Jb, oh)
@@ -204,6 +211,8 @@ def assemble_normal_equations_dense(
              else jnp.zeros((F, R, K * IMU_DOF), dtype)),
             (J_ext.reshape(F, R, E * POSE_DOF) if J_ext is not None
              else jnp.zeros((F, R, E * POSE_DOF), dtype)),
+            (J_mot.reshape(F, R, M * MOTION_DOF) if J_mot is not None
+             else jnp.zeros((F, R, M * MOTION_DOF), dtype)),
         ], axis=-1)
         J_rows.append(row.reshape(F * R, D))
         r_rows.append(r.reshape(F * R))

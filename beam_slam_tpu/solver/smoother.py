@@ -134,6 +134,26 @@ class MotionSpec:
 
 
 @dataclasses.dataclass
+class MotionStateInit:
+    """Kinematic aux state (ω, a) at a stamp — the reference's
+    VelocityAngular3DStamped + AccelerationLinear3DStamped fuse variables
+    (bs_models/src/unicycle_3d.cpp devices them per pose)."""
+    stamp: Stamp
+    w: np.ndarray  # [3] body angular velocity
+    a: np.ndarray  # [3] body linear acceleration
+
+
+@dataclasses.dataclass
+class UnicycleSpec:
+    """Full-state Unicycle3D kinematic factor (15-dof residual over two
+    poses + their ω/a aux states; unicycle_3d_state_cost_functor.h)."""
+    stamp_i: Stamp
+    stamp_j: Stamp
+    dt: float
+    sqrt_info: np.ndarray  # [15,15]
+
+
+@dataclasses.dataclass
 class LandmarkSpec:
     """New Euclidean visual landmark (VisualMap::AddLandmark)."""
     lm_id: int
@@ -173,6 +193,9 @@ class Transaction:
     idp_reprojections: List[IdpReprojectionSpec] = dataclasses.field(
         default_factory=list)
     motion: List[MotionSpec] = dataclasses.field(default_factory=list)
+    motion_states: List[MotionStateInit] = dataclasses.field(
+        default_factory=list)
+    unicycle: List[UnicycleSpec] = dataclasses.field(default_factory=list)
     # removals (fuse transactions carry removed constraints too; used by the
     # reference InertialOdometry's BreakupConstraint)
     removed_imu_relative: List[Tuple[Stamp, Stamp]] = dataclasses.field(
@@ -254,6 +277,21 @@ class Transaction:
             np.asarray(sqrt_info)))
         return self
 
+    def add_motion_state(self, stamp, w=None, a=None):
+        self.motion_states.append(MotionStateInit(
+            float(stamp),
+            np.zeros(3) if w is None else np.asarray(w, np.float64),
+            np.zeros(3) if a is None else np.asarray(a, np.float64)))
+        return self
+
+    def add_unicycle(self, stamp_i, stamp_j, sqrt_info):
+        """Full-state kinematic segment: requires motion states at both
+        stamps (added here or previously)."""
+        self.unicycle.append(UnicycleSpec(
+            float(stamp_i), float(stamp_j), float(stamp_j) - float(stamp_i),
+            np.asarray(sqrt_info)))
+        return self
+
     def remove_imu_relative(self, stamp_i, stamp_j):
         self.removed_imu_relative.append((float(stamp_i), float(stamp_j)))
         return self
@@ -262,7 +300,8 @@ class Transaction:
         """fuse_core::Transaction::merge."""
         for f in ("imu_states", "imu_relative", "imu_priors", "rel_poses",
                   "abs_poses", "gravity", "landmarks", "reprojections",
-                  "idp_reprojections", "motion", "removed_imu_relative"):
+                  "idp_reprojections", "motion", "motion_states", "unicycle",
+                  "removed_imu_relative"):
             getattr(self, f).extend(getattr(other, f))
         self.stamp = max(self.stamp, other.stamp)
         return self
@@ -286,6 +325,8 @@ class Transaction:
         stamps += [f.stamp for f in self.reprojections]
         stamps += [f.stamp for f in self.idp_reprojections]
         stamps += [f.stamp_j for f in self.motion]
+        stamps += [s.stamp for s in self.motion_states]
+        stamps += [f.stamp_j for f in self.unicycle]
         return max(stamps)
 
     def all_factor_stamps(self):
@@ -300,6 +341,7 @@ class Transaction:
             (self.reprojections, ("stamp",)),
             (self.idp_reprojections, ("anchor_stamp", "stamp")),
             (self.motion, ("stamp_i", "stamp_j")),
+            (self.unicycle, ("stamp_i", "stamp_j")),
         )
 
 
@@ -399,6 +441,12 @@ class SmootherConfig:
     max_gravity_factors: int = 64
     max_reprojection_factors: int = 2048
     max_motion_factors: int = 64
+    # full-state Unicycle3D (ω/a aux states per pose). Off by default: no
+    # reference pipeline config enables the unicycle model, and the aux
+    # block adds max_states·6 dof to the dense system. When True, every
+    # state slot gets a paired MotionStates slot (same index).
+    unicycle_full_state: bool = False
+    max_unicycle_factors: int = 64
     max_idp_factors: int = 512
     max_marginal_factors: int = 16
     cauchy_loss_rel_pose: Optional[float] = None
@@ -459,6 +507,14 @@ class FixedLagSmoother:
         self.arena_motion = _Arena(config.max_motion_factors, dict(
             dt=(), sqrt_info=(9, 9)))
         self.arena_motion.set_slot_width(2)
+        # full-state unicycle: motion slot s is paired with IMU state slot s
+        Mu = K if config.unicycle_full_state else 1
+        self.mot_w = np.zeros((Mu, 3), np.float32)
+        self.mot_a = np.zeros((Mu, 3), np.float32)
+        self.mot_active = np.zeros(Mu, bool)
+        self.arena_uni = _Arena(config.max_unicycle_factors, dict(
+            dt=(), sqrt_info=(15, 15)))
+        self.arena_uni.set_slot_width(4)  # (imu_i, mot_i, imu_j, mot_j)
         self.arena_idp = _Arena(config.max_idp_factors, dict(
             bearing=(2,), pixel=(2,), intr=(4,), sqrt_info=(2, 2)))
         self.arena_idp.set_slot_width(4)  # (anchor, meas, extrinsic, lm)
@@ -535,9 +591,13 @@ class FixedLagSmoother:
 
     def get_state(self, stamp: Stamp):
         s = self.slot_of_stamp[stamp]
-        return dict(q=self.q[s].copy(), p=self.p[s].copy(),
-                    v=self.v[s].copy(), bg=self.bg[s].copy(),
-                    ba=self.ba[s].copy())
+        out = dict(q=self.q[s].copy(), p=self.p[s].copy(),
+                   v=self.v[s].copy(), bg=self.bg[s].copy(),
+                   ba=self.ba[s].copy())
+        if self.cfg.unicycle_full_state and self.mot_active[s]:
+            out["w"] = self.mot_w[s].copy()
+            out["a"] = self.mot_a[s].copy()
+        return out
 
     def reset(self):
         """System-wide reset protocol (fixed_lag_smoother.cpp:479-546):
@@ -622,6 +682,25 @@ class FixedLagSmoother:
             i = self.arena_motion.alloc()
             a = self.arena_motion
             a.slots[i] = (self._slot_for(f.stamp_i), self._slot_for(f.stamp_j))
+            a.fields["dt"][i] = f.dt
+            a.fields["sqrt_info"][i] = f.sqrt_info
+        for st in txn.motion_states:
+            if not self.cfg.unicycle_full_state:
+                raise RuntimeError(
+                    "motion states require unicycle_full_state=True")
+            s = self._slot_for(st.stamp, create=True)
+            self.mot_w[s] = st.w
+            self.mot_a[s] = st.a
+            self.mot_active[s] = True
+        for f in txn.unicycle:
+            i = self.arena_uni.alloc()
+            a = self.arena_uni
+            s_i = self._slot_for(f.stamp_i)
+            s_j = self._slot_for(f.stamp_j)
+            if not (self.mot_active[s_i] and self.mot_active[s_j]):
+                raise RuntimeError(
+                    "unicycle factor requires motion states at both stamps")
+            a.slots[i] = (s_i, s_i, s_j, s_j)
             a.fields["dt"][i] = f.dt
             a.fields["sqrt_info"][i] = f.sqrt_info
         for lm in txn.landmarks:
@@ -816,11 +895,16 @@ class FixedLagSmoother:
                                   (self.arena_rel, 2), (self.arena_abs, 1),
                                   (self.arena_grav, 1), (self.arena_reproj, 1),
                                   (self.arena_motion, 2), (self.arena_idp, 2),
+                                  (self.arena_uni, 4),
                                   (self.arena_marg, fc.MARGINAL_MAX_BLOCKS)):
             for i in arena.active_indices():
                 if any(arena.slots[i, b] in stale_slots
                        for b in range(imu_blocks)):
                     arena.release(i)
+        # motion aux slots die with their paired state slot
+        if self.cfg.unicycle_full_state:
+            for s in stale_slots:
+                self.mot_active[s] = False
         # exact mode: landmarks eliminated into the marginal prior go away
         # together with every factor observing them. Marginalized stamps
         # accumulate (a stamp can never return): any later reference is
@@ -877,6 +961,16 @@ class FixedLagSmoother:
         """
         from beam_slam_tpu.core.window import IMU_DOF
 
+        # a unicycle factor touching a stale slot couples its 6-dof motion
+        # aux block, which the (IMU-block) marginal prior cannot represent →
+        # pseudo fallback (reference configs never combine the unicycle
+        # model with exact marginalization)
+        a = self.arena_uni
+        for i in a.active_indices():
+            if int(a.slots[i, 0]) in stale_slots or \
+                    int(a.slots[i, 2]) in stale_slots:
+                return False, set()
+
         window, families, _ = self._build_device_problem()
 
         # landmarks to eliminate: observed by any stale frame
@@ -899,7 +993,9 @@ class FixedLagSmoother:
             (5, self.arena_reproj, (0,), (1, 2)),   # ext col 1, lm col 2
             (6, self.arena_idp, (0, 1), (2, 3)),    # ext col 2, lm col 3
             (7, self.arena_motion, (0, 1), None),
-            (8, self.arena_marg, tuple(range(fc.MARGINAL_MAX_BLOCKS)), None),
+            # family index 8 is arena_uni — never involved here (we fall
+            # back to pseudo before this point if one touches a stale slot)
+            (9, self.arena_marg, tuple(range(fc.MARGINAL_MAX_BLOCKS)), None),
         )
         for fam_idx, arena, imu_cols, extra in specs:
             lm_col = None
@@ -1016,7 +1112,8 @@ class FixedLagSmoother:
 
     # -- device round-trip --------------------------------------------------
     def _build_device_problem(self):
-        from beam_slam_tpu.core.window import ImuStates, Landmarks, Poses
+        from beam_slam_tpu.core.window import (ImuStates, Landmarks,
+                                               MotionStates, Poses)
         window = WindowState(
             imu=ImuStates(
                 q=jnp.asarray(self.q), p=jnp.asarray(self.p),
@@ -1032,6 +1129,10 @@ class FixedLagSmoother:
                 pt=jnp.asarray(self.lm_pt),
                 active=jnp.asarray(self.lm_active),
                 held=jnp.asarray(self.lm_held)),
+            motion=MotionStates(
+                w=jnp.asarray(self.mot_w), a=jnp.asarray(self.mot_a),
+                active=jnp.asarray(self.mot_active),
+                held=jnp.zeros(self.mot_w.shape[0], bool)),
         )
         a = self.arena_imu
         rel = fc.ImuRelativeFactors(
@@ -1086,6 +1187,11 @@ class FixedLagSmoother:
             pixel=jnp.asarray(a.fields["pixel"]),
             intr=jnp.asarray(a.fields["intr"]),
             sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
+        a = self.arena_uni
+        uni = fc.Unicycle3DFactors(
+            slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
+            dt=jnp.asarray(a.fields["dt"]),
+            sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
         a = self.arena_marg
         marg = fc.MarginalPriorFactors(
             slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
@@ -1096,10 +1202,10 @@ class FixedLagSmoother:
             ba_lin=jnp.asarray(a.fields["ba_lin"]),
             A=jnp.asarray(a.fields["A"]), b=jnp.asarray(a.fields["b"]))
         families = (rel, prior, rel_pose, abs_pose, grav, reproj, idp,
-                    motion, marg)
+                    motion, uni, marg)
         losses = (None, None, self.cfg.cauchy_loss_rel_pose, None, None,
                   self.cfg.cauchy_loss_reprojection,
-                  self.cfg.cauchy_loss_reprojection, None, None)
+                  self.cfg.cauchy_loss_reprojection, None, None, None)
         return window, families, losses
 
     def _pull_back(self, window: WindowState):
@@ -1113,6 +1219,8 @@ class FixedLagSmoother:
         self.ext_q = np.array(window.extrinsics.q)
         self.ext_p = np.array(window.extrinsics.p)
         self.lm_pt = np.array(window.landmarks.pt)
+        self.mot_w = np.array(window.motion.w)
+        self.mot_a = np.array(window.motion.a)
 
     # -- the optimizer tick (optimizationLoop body,
     #    fixed_lag_smoother.cpp:166-311) ------------------------------------
@@ -1268,6 +1376,11 @@ class FixedLagSmoother:
         self.ba[same] = ba[same]
         self.ext_q = np.array(out.extrinsics.q)
         self.ext_p = np.array(out.extrinsics.p)
+        if self.cfg.unicycle_full_state:
+            mw = np.array(out.motion.w)
+            ma = np.array(out.motion.a)
+            self.mot_w[same] = mw[same]
+            self.mot_a[same] = ma[same]
         lm_pt = np.array(out.landmarks.pt)
         lm_same = self.lm_active & (lm_snap == self.lm_id_of_slot)
         self.lm_pt[lm_same] = lm_pt[lm_same]

@@ -119,6 +119,32 @@ def main():
     cost_fn = lambda w: gn.total_cost(w, families, losses)
     cost_ms = _median_ms(cost_fn, perturb_window, window)
 
+    # ---- secondary metric: LOAM scan-to-map registration kernel (the other
+    # hot path: ~per-scan cost at 10 Hz; scan 2112 edges + 6144 surfs against
+    # a 10-scan rolling map)
+    from beam_slam_tpu.lidar import features as feat
+    from beam_slam_tpu.lidar import registration as reg
+    from beam_slam_tpu.lidar.cloud import synthetic_structured_scene
+    from beam_slam_tpu.lidar.registration_map import RegistrationMap
+    from beam_slam_tpu.core import lie
+
+    world = synthetic_structured_scene(n_rings=16, width=504)
+    fc = feat.extract_features(world)
+    rmap = RegistrationMap(map_size=10)
+    for s in range(10):
+        rmap.add_scan(float(s), jnp.asarray([1.0, 0, 0, 0]),
+                      jnp.asarray([0.1 * s, 0.0, 0.0]), fc)
+    me, mev, ms, msv = rmap.world_frame()
+    q0 = lie.so3_exp_quat(jnp.asarray([0.01, -0.01, 0.02]))
+    p0 = jnp.asarray([0.05, -0.03, 0.02])
+    reg_cfg = reg.LoamRegistrationConfig()
+
+    def reg_fn(p_seed):
+        r = reg.register_loam(fc, me, mev, ms, msv, q0, p_seed, reg_cfg)
+        return r.q, r.p
+
+    reg_ms = _median_ms(reg_fn, perturb_first, p0)
+
     baseline_ms = 50.0  # reference per-cycle solver budget (lvio.yaml:14)
     # cycles/s the compiled solve sustains; the reference optimizer must
     # complete 1/0.07 ~= 14.3 cycles/s to keep up with a 20 Hz camera.
@@ -144,6 +170,7 @@ def main():
             "residual_pass_standalone_ms": round(cost_ms, 3),
             "cycles_per_s": round(cycles_per_s, 1),
             "camera_fps_sustained": round(20.0 * cycles_per_s / 14.3, 1),
+            "loam_registration_ms": round(reg_ms, 3),
         },
     }))
     return 0

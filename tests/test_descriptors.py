@@ -108,3 +108,83 @@ def test_image_database_discriminates_revisits():
         if res and int(res[0][0]) == pi:
             hits += 1
     assert hits >= 18, hits  # >= 90% top-1 on noisy revisits
+
+
+def test_trained_vocabulary_beats_random_quantization():
+    """Binary k-means vocabulary (DBoW-style descriptor clustering): on a
+    corpus drawn from latent prototypes, the trained vocab's quantization
+    error must be far below the random-hyperplane vocab's, and noisy
+    revisit retrieval must stay perfect."""
+    from beam_slam_tpu.vision.image_database import (ImageDatabase,
+                                                     train_vocabulary)
+
+    rng = np.random.default_rng(7)
+    n_proto, per_proto = 32, 60
+    protos = rng.integers(0, 2**32, (n_proto, 8), dtype=np.uint64) \
+        .astype(np.uint32)
+    corpus = np.repeat(protos, per_proto, axis=0)
+    # 3% bit noise around each prototype
+    bitsel = rng.random((corpus.shape[0], 8, 32)) < 0.03
+    flip = np.zeros_like(corpus)
+    for b in range(32):
+        flip |= (bitsel[:, :, b].astype(np.uint32) << b)
+    corpus ^= flip
+    valid = np.ones(corpus.shape[0], bool)
+
+    vocab = train_vocabulary(corpus, valid, n_words=n_proto, n_iters=15,
+                             seed=3)
+
+    def mean_quant_err(voc):
+        D = np.asarray(dsc.hamming_matrix(jnp.asarray(corpus),
+                                          jnp.asarray(voc)))
+        return D.min(axis=1).mean()
+
+    rand_db = ImageDatabase(n_words=n_proto)
+    err_trained = mean_quant_err(vocab)
+    err_random = mean_quant_err(rand_db.vocab)
+    # trained centroids sit on the prototypes (~3% noise floor ≈ 7.7 bits);
+    # random words are ~128 bits away
+    assert err_trained < 15, err_trained
+    assert err_trained < 0.25 * err_random, (err_trained, err_random)
+
+    # retrieval: places built from disjoint prototype subsets
+    db = ImageDatabase(vocab=vocab)
+    n_places = 8
+    place_descs = []
+    for pi in range(n_places):
+        sel = rng.choice(n_proto, 4, replace=False)
+        d = corpus[np.concatenate([np.arange(s * per_proto,
+                                             s * per_proto + 30)
+                                   for s in sel])]
+        place_descs.append(d)
+        db.add_frame(float(pi), jnp.asarray(d), np.ones(len(d), bool))
+    hits = 0
+    for pi in range(n_places):
+        noisy = place_descs[pi].copy()
+        bitsel = rng.random((noisy.shape[0], 8, 32)) < 0.05
+        flip = np.zeros_like(noisy)
+        for b in range(32):
+            flip |= (bitsel[:, :, b].astype(np.uint32) << b)
+        noisy ^= flip
+        res = db.query(jnp.asarray(noisy), np.ones(len(noisy), bool),
+                       top_k=1, exclude_recent=0)
+        if res and int(res[0][0]) == pi:
+            hits += 1
+    assert hits == n_places, hits
+
+
+def test_vocabulary_round_trip(tmp_path):
+    from beam_slam_tpu.vision.image_database import ImageDatabase
+
+    rng = np.random.default_rng(2)
+    descs = rng.integers(0, 2**32, (200, 8), dtype=np.uint64) \
+        .astype(np.uint32)
+    db = ImageDatabase.trained(jnp.asarray(descs), np.ones(200, bool),
+                               n_words=16, n_iters=4)
+    path = str(tmp_path / "vocab.npz")
+    db.save_vocabulary(path)
+    db2 = ImageDatabase.from_vocabulary_file(path)
+    assert np.array_equal(np.asarray(db.vocab), np.asarray(db2.vocab))
+    w1 = db.words_for(jnp.asarray(descs[:10]), np.ones(10, bool))
+    w2 = db2.words_for(jnp.asarray(descs[:10]), np.ones(10, bool))
+    assert np.array_equal(w1, w2)
