@@ -20,6 +20,8 @@ expired entries so steady-state never recompiles.
 from __future__ import annotations
 
 import dataclasses
+import functools
+import threading
 import time
 from typing import Callable, Dict, List, Optional, Tuple
 
@@ -454,8 +456,23 @@ class SmootherConfig:
     solver: gn.SolverOptions = gn.SolverOptions()
 
 
+def _locked(fn):
+    """Serialize a public smoother method on the instance RLock — the
+    transaction-queue/graph mutex of the reference optimizer
+    (fixed_lag_smoother.cpp pending_transactions_mutex_ :346 +
+    optimization_requested_mutex_). Reentrant: run_once's notify fan-out may
+    call locked accessors from the same thread."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **k):
+        with self._lock:
+            return fn(self, *a, **k)
+    return wrapper
+
+
 class FixedLagSmoother:
     def __init__(self, config: SmootherConfig = SmootherConfig()):
+        self._lock = threading.RLock()
         self.cfg = config
         K = config.max_states
         self.K = K
@@ -558,6 +575,7 @@ class FixedLagSmoother:
         self._inflight: Optional[tuple] = None  # async double-buffered solve
 
     # -- public API ---------------------------------------------------------
+    @_locked
     def send_transaction(self, txn: Transaction):
         self._pending.append(txn)
 
@@ -570,6 +588,7 @@ class FixedLagSmoother:
         before it is applied."""
         self._motion_models.append(cb)
 
+    @_locked
     def register_extrinsic(self, name: str, q, p, held: bool = True) -> int:
         """Add a named sensor extrinsic (frame: baselink→sensor). ``held``
         False enables online calibration of this extrinsic."""
@@ -586,9 +605,11 @@ class FixedLagSmoother:
         self.ext_slot_of_name[name] = e
         return e
 
+    @_locked
     def current_stamps(self) -> List[Stamp]:
         return sorted(self.slot_of_stamp.keys())
 
+    @_locked
     def get_state(self, stamp: Stamp):
         s = self.slot_of_stamp[stamp]
         out = dict(q=self.q[s].copy(), p=self.p[s].copy(),
@@ -599,6 +620,7 @@ class FixedLagSmoother:
             out["a"] = self.mot_a[s].copy()
         return out
 
+    @_locked
     def reset(self):
         """System-wide reset protocol (fixed_lag_smoother.cpp:479-546):
         clear graph, pending transactions and index maps; re-ignition is the
@@ -744,9 +766,11 @@ class FixedLagSmoother:
         self.lm_held[s] = False
         return s
 
+    @_locked
     def get_landmark(self, lm_id: int) -> np.ndarray:
         return self.lm_pt[self.slot_of_lm_id[lm_id]].copy()
 
+    @_locked
     def has_landmark(self, lm_id: int) -> bool:
         return lm_id in self.slot_of_lm_id
 
@@ -1289,6 +1313,7 @@ class FixedLagSmoother:
                 self._downshift_left = self.cfg.downshift_hold_ticks
                 self.counters["solve_downshifts"] += 1
 
+    @_locked
     def run_once(self) -> Optional[gn.SolveDiagnostics]:
         if self.cfg.async_solve:
             return self._run_once_async()
@@ -1344,6 +1369,7 @@ class FixedLagSmoother:
         self.solve_count += 1
         return harvested
 
+    @_locked
     def flush(self) -> Optional[gn.SolveDiagnostics]:
         """Block on the in-flight solve and harvest it (used at shutdown and
         by tests; sync mode: no-op)."""
@@ -1390,6 +1416,7 @@ class FixedLagSmoother:
             cb(self)
 
     # -- covariance recovery ------------------------------------------------
+    @_locked
     def get_pose_covariance(self, stamp: Stamp) -> np.ndarray:
         """Marginal 6x6 pose covariance ([dθ, dp] tangent) of the state at
         ``stamp``, recovered from the current linearization point (the
