@@ -59,8 +59,9 @@ def run_synthetic_session(mode: str = "LVIO", duration_s: float = 20.0,
     which sensors feed the local mapper (LIO: no camera; VIO: no lidar after
     init — init still uses FRAMEINIT/LIDAR as configured; LVIO: all)."""
     rng = np.random.default_rng(seed)
+    v_drift = (0.35, 0.05, 0.0)
     traj = sim.AnalyticTrajectory(amp_p=(0.6, 0.5, 0.2),
-                                  v_drift=(0.35, 0.05, 0.0),
+                                  v_drift=v_drift,
                                   amp_r=(0.1, 0.1, 0.15))
     scene = scene if scene is not None else synthetic_structured_scene(
         n_rings=16, width=504)
@@ -69,9 +70,17 @@ def run_synthetic_session(mode: str = "LVIO", duration_s: float = 20.0,
     # external odometry pose stream (fed below), matching the reference's
     # frame-initializer config for camera-only pipelines
     use_lidar = mode in ("LIO", "LVIO")
-    n_lm = 120
-    lms = np.stack([rng.uniform(4, 11, n_lm), rng.uniform(-4.5, 4.5, n_lm),
-                    rng.uniform(-2.2, 2.2, n_lm)], axis=1).astype(np.float32)
+    # Landmarks populate the whole drift corridor (the trajectory advances
+    # v_drift[0]·duration metres in x): constant density along the path so
+    # the camera always has fresh features ahead of it, like a real scene.
+    corridor = 7.0 + v_drift[0] * duration_s
+    n_lm = max(120, int(round(120 * corridor / 7.0)))
+    lx = rng.uniform(4.0, 4.0 + corridor, n_lm)
+    # centre the lateral band on the drifted path (y advances vy/vx per x)
+    ly = (v_drift[1] / max(v_drift[0], 1e-9)) * lx \
+        + rng.uniform(-4.5, 4.5, n_lm)
+    lms = np.stack([lx, ly, rng.uniform(-2.2, 2.2, n_lm)],
+                   axis=1).astype(np.float32)
 
     cfg = LocalMapperConfig(
         mode=mode, lag_duration=lag_s, max_states=max_states,
@@ -102,12 +111,19 @@ def run_synthetic_session(mode: str = "LVIO", duration_s: float = 20.0,
                                                    jnp.asarray(P_BC))
         X_c = lie.quat_rotate(lie.quat_conj(q_wc)[None],
                               jnp.asarray(lms) - p_wc)
-        uv, valid = CAM.project(np.asarray(X_c))
+        X_c = np.asarray(X_c)
+        uv, valid = CAM.project(X_c)
         uv = np.asarray(uv)
-        valid = np.asarray(valid)
+        # range-gate + cap like a real tracker: keep the nearest 150 within
+        # 12 m so the per-frame feature count stays bounded regardless of
+        # how many corridor landmarks fall inside the frustum
+        valid = np.asarray(valid) & (X_c[:, 2] < 12.0)
         ids = np.nonzero(valid)[0].astype(np.int64)
-        pix = uv[valid] + rng.standard_normal(
-            (int(valid.sum()), 2)).astype(np.float32) * 0.3
+        if ids.size > 150:
+            ids = ids[np.argsort(X_c[ids, 2])[:150]]
+            ids = np.sort(ids)
+        pix = uv[ids] + rng.standard_normal(
+            (ids.size, 2)).astype(np.float32) * 0.3
         return ids, pix.astype(np.float32)
 
     # drive on the camera clock (or lidar clock for LIO)
