@@ -43,6 +43,12 @@ class CalibrationConfig:
     imu_hz: float = 200.0
     camera_hz: float = 20.0
     lidar_hz: float = 10.0
+    # live-driver scan geometry (lidar_type selects the PointCloud2 layout,
+    # lidar_odometry.cpp:364-380; rings×width sizes the device RingGrid —
+    # VLP-16 defaults: 16 rings, ~1800 azimuth bins at 10 Hz)
+    lidar_type: str = "velodyne"  # velodyne | ouster | auto
+    lidar_rings: int = 16
+    lidar_width: int = 1800
 
 
 @dataclasses.dataclass

@@ -184,6 +184,17 @@ class LocalMapper:
             self._pending_tick = True
         return ok
 
+    def on_pointcloud2(self, msg) -> bool:
+        """Live-driver scan entry: decode a sensor_msgs/PointCloud2-layout
+        message (Velodyne PointXYZIRT / Ouster PointXYZITRRNR, selected by
+        calibration.lidar_type) and ingest it — the subscriber boundary of
+        the reference (lidar_odometry.cpp:113,300-380)."""
+        from beam_slam_tpu.lidar.pointcloud2 import ring_grid_from_msg
+        cal = self.cfg.calibration
+        grid = ring_grid_from_msg(msg, cal.lidar_rings, cal.lidar_width,
+                                  cal.lidar_type)
+        return self.on_scan(msg.stamp, grid)
+
     def on_image(self, t: float, image) -> bool:
         if self.tracker is None:
             return False
