@@ -487,6 +487,10 @@ class FixedLagSmoother:
         self.stamp_of_slot = np.full(K, np.nan)
         self.slot_of_stamp: Dict[Stamp, int] = {}
         self._state_free = list(range(K - 1, -1, -1))
+        # per-slot assignment generation: bumped on every (re)assignment so
+        # the async harvest can detect slot recycling even if a recycled
+        # slot ends up carrying an identical stamp (ABA)
+        self.state_gen = np.zeros(K, np.int64)
 
         E = config.max_extrinsics
         self.ext_q = np.tile(np.array([1, 0, 0, 0], np.float32), (E, 1))
@@ -549,6 +553,7 @@ class FixedLagSmoother:
         self.lm_id_of_slot = np.full(Lm, -1, np.int64)
         self.slot_of_lm_id: Dict[int, int] = {}
         self._lm_free = list(range(Lm - 1, -1, -1))
+        self.lm_gen = np.zeros(Lm, np.int64)  # see state_gen
 
         self._pending: List[Transaction] = []
         self._started = False
@@ -640,6 +645,7 @@ class FixedLagSmoother:
         self.stamp_of_slot[s] = stamp
         self.state_active[s] = True
         self.state_held[s] = False
+        self.state_gen[s] += 1
         return s
 
     def _apply(self, txn: Transaction):
@@ -762,6 +768,7 @@ class FixedLagSmoother:
         self._lm_next_seq += 1
         self.slot_of_lm_id[lm_id] = s
         self.lm_id_of_slot[s] = lm_id
+        self.lm_gen[s] += 1
         self.lm_active[s] = True
         self.lm_held[s] = False
         return s
@@ -1364,8 +1371,7 @@ class FixedLagSmoother:
         opts = self._solver_options()
         out, diag = gn.solve(window, families, losses, opts)  # async dispatch
         self._inflight = (out, diag,
-                          (self.stamp_of_slot.copy(),
-                           self.lm_id_of_slot.copy()))
+                          (self.state_gen.copy(), self.lm_gen.copy()))
         self.solve_count += 1
         return harvested
 
@@ -1382,19 +1388,16 @@ class FixedLagSmoother:
 
     def _harvest(self, out: WindowState, diag, snapshot):
         """Copy the solved values back into the host mirrors, skipping slots
-        that were recycled while the solve was in flight."""
-        stamp_snap, lm_snap = snapshot
+        that were recycled while the solve was in flight (generation
+        counters — immune to ABA stamp reuse, unlike a stamp comparison)."""
+        gen_snap, lm_gen_snap = snapshot
         self._inflight = None
         q = np.array(out.imu.q)
         p = np.array(out.imu.p)
         v = np.array(out.imu.v)
         bg = np.array(out.imu.bg)
         ba = np.array(out.imu.ba)
-        same = np.zeros(self.K, bool)
-        for s in range(self.K):
-            a, b = stamp_snap[s], self.stamp_of_slot[s]
-            same[s] = self.state_active[s] and (
-                (np.isnan(a) and np.isnan(b)) or a == b)
+        same = self.state_active & (gen_snap == self.state_gen)
         self.q[same] = q[same]
         self.p[same] = p[same]
         self.v[same] = v[same]
@@ -1408,7 +1411,7 @@ class FixedLagSmoother:
             self.mot_w[same] = mw[same]
             self.mot_a[same] = ma[same]
         lm_pt = np.array(out.landmarks.pt)
-        lm_same = self.lm_active & (lm_snap == self.lm_id_of_slot)
+        lm_same = self.lm_active & (lm_gen_snap == self.lm_gen)
         self.lm_pt[lm_same] = lm_pt[lm_same]
         self._cov_cache.clear()
         self.last_diagnostics = diag

@@ -124,6 +124,36 @@ def test_solver_reuses_compiled_step():
     assert gn._solve_impl._cache_size() == compiles_before
 
 
+def test_async_harvest_skips_aba_recycled_slot():
+    """Generation counters: if a state slot is freed and re-assigned while a
+    solve is in flight — even to an identical stamp (ABA) — the harvest must
+    not write the stale solved values into the recycled slot."""
+    traj = sim.AnalyticTrajectory()
+    sm = make_smoother(lag=4.0)
+    sm.cfg.async_solve = True
+    g0 = traj.sample(jnp.zeros((1,), jnp.float32))
+    txn = Transaction(stamp=0.0)
+    txn.add_imu_state(0.0, g0.q[0], g0.p[0], g0.v[0])
+    txn.add_imu_prior(0.0, g0.q[0], g0.p[0], g0.v[0], np.zeros(3),
+                      np.zeros(3), 1e3 * np.eye(15, dtype=np.float32))
+    sm.send_transaction(txn)
+    sm.run_once()   # dispatches the first async solve
+    assert sm._inflight is not None
+    s = sm.slot_of_stamp[0.0]
+    # ABA: recycle slot s to the SAME stamp while the solve is in flight
+    sm.slot_of_stamp.pop(0.0)
+    sm.state_active[s] = False
+    sm.stamp_of_slot[s] = np.nan
+    sm._state_free.append(s)
+    s2 = sm._slot_for(0.0, create=True)
+    assert s2 == s  # same slot, same stamp — a stamp compare cannot see this
+    marker = np.asarray([7.0, 8.0, 9.0], np.float32)
+    sm.p[s] = marker
+    sm.flush()
+    # stale solve output must NOT have overwritten the recycled slot
+    np.testing.assert_array_equal(sm.p[s], marker)
+
+
 def test_reset_protocol():
     sm, _, _ = run_sequence(total_s=3.0, kf_dt=0.5, lag=4.0)
     assert sm.current_stamps()
