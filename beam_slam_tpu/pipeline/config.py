@@ -103,7 +103,12 @@ class LocalMapperConfig:
                                       if use_cam else 1),
             max_idp_factors=512 if use_idp else 1,
             cauchy_loss_rel_pose=1.0,
-            solver=gn.SolverOptions(max_iterations=self.max_iterations),
+            # early_exit: stop at function_tolerance like the reference's
+            # Ceres loop (lvio.yaml max_num_iterations is a CAP, not a
+            # budget); bit-identical to the fixed-length scan because the
+            # scan's post-convergence iterations are inert
+            solver=gn.SolverOptions(max_iterations=self.max_iterations,
+                                    early_exit=True),
         )
 
     def build_scan_registration(self, q_bl=None, p_bl=None):

@@ -57,6 +57,13 @@ class SolverOptions(NamedTuple):
     min_lambda: float = 1e-12
     max_lambda: float = 1e8
     scan_length: Optional[int] = None  # static compiled iteration capacity
+    # True compiles the LM loop as a lax.while_loop that STOPS at
+    # convergence instead of a fixed-length scan that computes-and-discards
+    # the remaining iterations. Steady-state smoother ticks converge in 1-3
+    # iterations, so this trades the scan's static schedule for a ~3x
+    # shorter average cycle (the Ceres behavior: iterate until
+    # function_tolerance, never past max_iterations).
+    early_exit: bool = False
     # Normal-equation assembly kernel: "scatter" (per-factor scatter-adds;
     # best at small scale / XLA:CPU), "dense" (one-hot expansion to dense
     # Jacobian rows + one JᵀJ MXU matmul; the TPU path — scatters serialize
@@ -458,9 +465,18 @@ def _solve_impl(window, families, n_iter, losses,
     carry0 = (window, (H0, g0, H_ll0, g_l0, W0), lam0, init_cost,
               jnp.zeros((), bool), jnp.zeros((), jnp.int32),
               jnp.zeros((), jnp.int32))
-    (window, _, lam, cost, done, iters, _), _ = jax.lax.scan(
-        step, carry0, None, length=options.scan_length
-    )
+    if options.early_exit:
+        def cond(carry):
+            _, _, _, _, done, _, attempt = carry
+            return ~done & (attempt < n_iter)
+
+        (window, _, lam, cost, done, iters, _) = jax.lax.while_loop(
+            cond, lambda c: step(c, None)[0], carry0
+        )
+    else:
+        (window, _, lam, cost, done, iters, _), _ = jax.lax.scan(
+            step, carry0, None, length=options.scan_length
+        )
     diag = SolveDiagnostics(
         initial_cost=init_cost, final_cost=cost, iterations=iters,
         converged=done, final_lambda=lam,

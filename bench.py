@@ -98,6 +98,29 @@ def main():
     times.sort()
     cycle_ms = 1e3 * times[len(times) // 2] / R
 
+    # ---- steady-state cycle with convergence early-exit (the Ceres
+    # behavior: iterate until function_tolerance). Chained solves consume
+    # near-converged windows, so this is the sustained smoother-tick cost.
+    options_ee = options._replace(early_exit=True, scan_length=None)
+
+    @jax.jit
+    def chained_ee(win):
+        def body(w, _):
+            out, diag = gn.solve(w, families, losses, options_ee)
+            return out, diag.iterations
+        return jax.lax.scan(body, win, None, length=R)
+
+    out_ee, iters_ee = jax.block_until_ready(chained_ee(window))
+    times_ee = []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        out_ee, iters_ee = chained_ee(window)
+        jax.block_until_ready(out_ee)
+        times_ee.append(time.perf_counter() - t0)
+    times_ee.sort()
+    ee_cycle_ms = 1e3 * times_ee[len(times_ee) // 2] / R
+    ee_mean_iters = float(jnp.mean(iters_ee.astype(jnp.float32)))
+
     # ---- stage breakdown (each stage chained in its own jitted scan)
     def perturb_window(a, acc):
         w = a[0]
@@ -171,6 +194,10 @@ def main():
             "cycles_per_s": round(cycles_per_s, 1),
             "camera_fps_sustained": round(20.0 * cycles_per_s / 14.3, 1),
             "loam_registration_ms": round(reg_ms, 3),
+            # while_loop early exit at function_tolerance (steady state:
+            # consecutive ticks converge in ~1-2 iterations, like Ceres)
+            "early_exit_cycle_ms": round(ee_cycle_ms, 3),
+            "early_exit_mean_iterations": round(ee_mean_iters, 2),
         },
     }))
     return 0

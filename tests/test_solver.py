@@ -291,3 +291,34 @@ def test_dense_assembly_matches_scatter():
     out_de, _ = gn.solve(window, families, losses, opts_de)
     np.testing.assert_allclose(np.asarray(out_sc.imu.p),
                                np.asarray(out_de.imu.p), atol=1e-3)
+
+
+def test_early_exit_while_loop_matches_scan():
+    """early_exit=True (lax.while_loop that stops at convergence) must
+    produce the same accepted-step sequence as the fixed-length scan: the
+    scan's post-convergence iterations are inert by construction, so the
+    final window, cost, and iteration count agree exactly."""
+    import jax
+
+    from beam_slam_tpu.utils import synthetic
+
+    build = jax.jit(lambda k: synthetic.build_lvio_window(
+        k, n_kf=8, kf_dt=0.25, rate_hz=50.0, with_vision=True,
+        n_landmarks=16, obs_per_lm=4, n_idp=4)[:2])
+    window, families = jax.block_until_ready(build(jax.random.PRNGKey(5)))
+    losses = (None, None, 1.0, 2.0, 2.0)
+    out_s, diag_s = gn.solve(window, families, losses,
+                             gn.SolverOptions(max_iterations=10,
+                                              function_tolerance=1e-3))
+    out_w, diag_w = gn.solve(window, families, losses,
+                             gn.SolverOptions(max_iterations=10,
+                                              function_tolerance=1e-3,
+                                              early_exit=True))
+    assert bool(diag_s.converged)  # the scan converged before 10 iters ...
+    assert int(diag_w.iterations) == int(diag_s.iterations)
+    np.testing.assert_allclose(np.asarray(diag_w.final_cost),
+                               np.asarray(diag_s.final_cost), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_w.imu.p),
+                               np.asarray(out_s.imu.p), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_w.landmarks.pt),
+                               np.asarray(out_s.landmarks.pt), atol=1e-6)
