@@ -735,6 +735,14 @@ class FixedLagSmoother:
             s = self._lm_slot_for(lm.lm_id, create=True)
             self.lm_pt[s] = lm.position
         for f in txn.reprojections:
+            # the landmark can vanish between _validate_and_scrub and here:
+            # _prepare_capacity's forced marginalization releases landmarks
+            # whose observations all touched evicted states. Scrub late,
+            # never die (the reference drops faulty constraints, it does
+            # not abort the graph update).
+            if f.lm_id not in self.slot_of_lm_id:
+                self.counters["scrubbed_factors"] += 1
+                continue
             i = self.arena_reproj.alloc()
             a = self.arena_reproj
             a.slots[i] = (self._slot_for(f.stamp),
@@ -745,6 +753,9 @@ class FixedLagSmoother:
             a.fields["sqrt_info"][i] = f.sqrt_info
         # idp factors AFTER landmarks so same-transaction landmarks resolve
         for f in txn.idp_reprojections:
+            if f.lm_id not in self.slot_of_lm_id:  # see reprojections above
+                self.counters["scrubbed_factors"] += 1
+                continue
             i = self.arena_idp.alloc()
             a = self.arena_idp
             a.slots[i] = (self._slot_for(f.anchor_stamp),

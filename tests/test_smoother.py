@@ -215,3 +215,51 @@ def test_async_overlapped_solve_matches_sync():
     assert len(shared) >= 5
     for t in shared:
         assert np.linalg.norm(results[False][t] - results[True][t]) < 2e-3, t
+
+
+def test_forced_marginalization_scrubs_vanished_landmark_factor():
+    """A transaction can pass validation and THEN lose a referenced
+    landmark: _prepare_capacity force-marginalizes the oldest states to
+    admit new ones, which releases landmarks whose observations all died
+    with them. _apply must scrub such factors (degrade), not raise
+    (the fatal-graph-update path this bug used to take)."""
+    from beam_slam_tpu.solver.smoother import FixedLagSmoother, SmootherConfig
+    sm = FixedLagSmoother(SmootherConfig(
+        lag_duration=100.0, max_states=4, max_landmarks=4,
+        max_reprojection_factors=8,
+        solver=gn.SolverOptions(max_iterations=2)))
+    sm.register_extrinsic("cam0", np.array([1, 0, 0, 0], np.float32),
+                          np.zeros(3, np.float32))
+    intr = np.asarray([400.0, 400.0, 320.0, 240.0], np.float32)
+    px_info = np.eye(2, dtype=np.float32)
+    txn = Transaction(stamp=0.0)
+    for t in range(4):
+        txn.add_imu_state(float(t), np.array([1, 0, 0, 0.0]),
+                          np.array([0.1 * t, 0, 0.0]), np.zeros(3))
+    txn.add_imu_prior(0.0, np.array([1, 0, 0, 0.0]), np.zeros(3),
+                      np.zeros(3), np.zeros(3), np.zeros(3),
+                      1e2 * np.eye(15, dtype=np.float32))
+    txn.add_landmark(7, np.array([5.0, 0.0, 0.0]))
+    # lm 7's ONLY observation is at t=0 (will die with the forced marg)
+    txn.add_reprojection(0.0, 7, np.array([320.0, 240.0]), intr, px_info,
+                         sensor="cam0")
+    sm.send_transaction(txn)
+    sm.run_once()
+    assert 7 in sm.slot_of_lm_id
+
+    # 2 new states into a full window -> forces out t=0,1 -> releases lm 7;
+    # the same transaction also references lm 7 from a new state
+    txn = Transaction(stamp=5.0)
+    txn.add_imu_state(4.0, np.array([1, 0, 0, 0.0]),
+                      np.array([0.4, 0, 0.0]), np.zeros(3))
+    txn.add_imu_state(5.0, np.array([1, 0, 0, 0.0]),
+                      np.array([0.5, 0, 0.0]), np.zeros(3))
+    txn.add_reprojection(4.0, 7, np.array([322.0, 239.0]), intr, px_info,
+                         sensor="cam0")
+    sm.send_transaction(txn)
+    before = sm.counters["scrubbed_factors"]
+    sm.run_once()   # must not raise
+    assert 7 not in sm.slot_of_lm_id
+    assert sm.counters["scrubbed_factors"] > before
+    assert sm.counters["forced_state_marginalizations"] >= 2
+    assert set(sm.current_stamps()) == {2.0, 3.0, 4.0, 5.0}
