@@ -102,7 +102,12 @@ class GlobalMap:
         is within submap_size of its origin, else -1 (new submap needed)."""
         if not self.submaps:
             return -1
-        if self.submaps[-1].distance_to(p_wb) < self.params.submap_size_m:
+        # distance against the INITIAL submap pose (global_map.cpp:348 uses
+        # T_WORLD_SUBMAP_INIT) so partitioning is stable under graph updates
+        last = self.submaps[-1]
+        d = float(np.linalg.norm(np.asarray(p_wb, np.float64)
+                                 - np.asarray(last.p_initial, np.float64)))
+        if d < self.params.submap_size_m:
             return len(self.submaps) - 1
         return -1
 
