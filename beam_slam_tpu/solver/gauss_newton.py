@@ -418,12 +418,24 @@ def marginal_pose_covariance(window, families, losses,
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def _solve_impl(window, families, n_iter, losses,
                 options: SolverOptions):
+    return lm_loop(window,
+                   lambda win: _assemble(win, families, losses,
+                                         options.assembly),
+                   n_iter, options)
+
+
+def lm_loop(window, assemble, n_iter, options: SolverOptions):
+    """The LM iteration machinery over a pluggable ``assemble`` function.
+
+    ``assemble(window) -> (H, g, H_ll, g_l, W, cost)`` — the single-device
+    solve passes :func:`_assemble`; the distributed BA solve
+    (parallel/distributed_ba.py) passes a psum-reduced assembly so each
+    shard linearizes only its factor slice while the damped Schur solve
+    runs replicated on the full reduced system.
+    """
     free_full = window.dense_free_mask()
     free = jnp.concatenate([free_full, jnp.zeros((1,), bool)])  # trash dof
     lm_free = window.landmarks.active & ~window.landmarks.held
-
-    def assemble(win):
-        return _assemble(win, families, losses, options.assembly)
 
     # One assembly per iteration: iteration k solves the carried normal
     # equations, retracts a trial, and assembles AT THE TRIAL — that single
