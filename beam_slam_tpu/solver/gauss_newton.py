@@ -287,6 +287,37 @@ def total_cost(window: WindowState, families: Sequence,
     return cost
 
 
+def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form cofactor inverse of batched 3x3 SPD blocks [L,3,3].
+
+    Pure elementwise VPU math that XLA fuses into the surrounding Schur
+    computation — replaces the batched LU custom-call of jnp.linalg.inv
+    (a kernel-launch + unfusible op per LM iteration). The damped blocks
+    are floored well away from singularity (see _solve_damped), so the
+    adjugate form is numerically safe.
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = e * i - f * h
+    c01 = c * h - b * i
+    c02 = b * f - c * e
+    c10 = f * g - d * i
+    c11 = a * i - c * g
+    c12 = c * d - a * f
+    c20 = d * h - e * g
+    c21 = b * g - a * h
+    c22 = a * e - b * d
+    det = a * c00 + b * c10 + c * c20
+    inv_det = 1.0 / det
+    rows = jnp.stack([
+        jnp.stack([c00, c01, c02], axis=-1),
+        jnp.stack([c10, c11, c12], axis=-1),
+        jnp.stack([c20, c21, c22], axis=-1),
+    ], axis=-2)
+    return rows * inv_det[..., None, None]
+
+
 def _solve_damped(H, g, free, lam, H_ll, g_l, W, lm_free):
     """Schur-reduced damped solve.
 
@@ -316,7 +347,7 @@ def _solve_damped(H, g, free, lam, H_ll, g_l, W, lm_free):
              + (1e-5 * tr)[:, None, None] * eye3[None])
     Hll_d = jnp.where(lmf[:, None, None] > 0, Hll_d, eye3[None])
     g_l = g_l * lmf[:, None]
-    Hll_inv = jnp.linalg.inv(Hll_d)
+    Hll_inv = _inv3x3(Hll_d)
 
     # reduced camera system: H_red = H - W·Hll⁻¹·Wᵀ (MXU work)
     Wr = W.reshape(Dp, L, 3)
@@ -391,7 +422,7 @@ def marginal_pose_covariance(window, families, losses,
     tr = jnp.trace(H_ll, axis1=1, axis2=2)
     Hll_d = H_ll + (1e-5 * tr + 1e-8)[:, None, None] * eye3[None]
     Hll_d = jnp.where(lm_free[:, None, None] > 0, Hll_d, eye3[None])
-    Hll_inv = jnp.linalg.inv(Hll_d)
+    Hll_inv = _inv3x3(Hll_d)
     Wr = W.reshape(Dp, L, 3)
     Y = jnp.einsum("dlk,lkm->dlm", Wr, Hll_inv)
     H_red = Hm - jnp.einsum("dlm,elm->de", Y, Wr)
