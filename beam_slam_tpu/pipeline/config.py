@@ -81,6 +81,21 @@ class LocalMapperConfig:
     registration_config: Optional[str] = None
     matcher_config: Optional[str] = None
     input_filters_config: Optional[str] = None
+    # remaining JSON tiers of beam_slam_launch/config: per-pipeline factor
+    # information weights (optimization/*_information_weights.json),
+    # frame-initializer source (frame_initializers/*.json), and the visual
+    # front-end kernel configs (vo/fastssc_detector.json, vo/tracker.json,
+    # vo/orb_descriptor.json)
+    information_weights_config: Optional[str] = None
+    frame_initializer_config: Optional[str] = None
+    detector_config: Optional[str] = None
+    tracker_config: Optional[str] = None
+    descriptor_config: Optional[str] = None
+    # resolved frame-initializer source (ODOMETRY = IO odometry, the live
+    # default; POSEFILE/PATH = offline pose file)
+    frame_init_type: str = "ODOMETRY"
+    frame_init_path: Optional[str] = None
+    gravity_info_weight: float = 2.0
     # GravityAlignment plugin (roll/pitch anchoring factors per keyframe)
     use_gravity_alignment: bool = True
     init: InitParams = dataclasses.field(default_factory=InitParams)
@@ -139,6 +154,79 @@ class LocalMapperConfig:
             path = os.path.join(self.config_root, path)
         return tuple(lfil.load_filters(path))
 
+    def _resolve(self, path: str) -> str:
+        if self.config_root is not None and not os.path.isabs(path):
+            return os.path.join(self.config_root, path)
+        return path
+
+    def apply_json_tiers(self):
+        """Apply the JSON sub-configs that modify in-struct params:
+        information weights (w → cov = 1/w², visual_odometry_params.h:36-47)
+        and the frame-initializer source selection."""
+        import json as _json
+        if self.information_weights_config:
+            with open(self._resolve(self.information_weights_config)) as f:
+                w = _json.load(f)
+            if "inertial_information_weight" in w:
+                self.imu.info_weight = float(w["inertial_information_weight"])
+            if "reprojection_information_weight" in w:
+                self.vo.reprojection_info_weight = float(
+                    w["reprojection_information_weight"])
+            if "lidar_information_weight" in w:
+                wl = float(w["lidar_information_weight"])
+                self.scan_registration.covariance_weight = 1.0 / (wl * wl)
+            if "visual_odom_information_weight" in w:
+                wv = float(w["visual_odom_information_weight"])
+                self.vo.standalone_rel_cov = 1.0 / (wv * wv)
+            if "gravity_information_weight" in w:
+                self.gravity_info_weight = float(
+                    w["gravity_information_weight"])
+        if self.frame_initializer_config:
+            with open(self._resolve(self.frame_initializer_config)) as f:
+                fi = _json.load(f)
+            self.frame_init_type = fi.get("type", "ODOMETRY").upper()
+            # the reference's 'info' field is the odometry topic for
+            # ODOMETRY and the file path for POSEFILE/PATH
+            if self.frame_init_type in ("POSEFILE", "PATH"):
+                self.frame_init_path = self._resolve(fi.get("info", ""))
+
+    def build_tracker(self, camera):
+        """VisualFeatureTracker honoring the vo/ JSON kernel configs
+        (fastssc_detector.json / tracker.json / orb_descriptor.json)."""
+        import json as _json
+
+        from beam_slam_tpu.models.visual_feature_tracker import \
+            VisualFeatureTracker
+        from beam_slam_tpu.vision import detector as det
+        from beam_slam_tpu.vision import tracker as trk
+
+        fast_kwargs = {"threshold": 15.0}
+        min_features = 40
+        if self.detector_config:
+            with open(self._resolve(self.detector_config)) as f:
+                d = _json.load(f)
+            if "threshold" in d:
+                fast_kwargs["threshold"] = float(d["threshold"])
+            if "num_features" in d:
+                min_features = int(d["num_features"])
+        lk_kwargs = {}
+        if self.tracker_config:
+            with open(self._resolve(self.tracker_config)) as f:
+                t = _json.load(f)
+            if "win_size_u" in t or "win_size_v" in t:
+                w = max(int(t.get("win_size_u", 7)),
+                        int(t.get("win_size_v", 7)))
+                lk_kwargs["window"] = w if w % 2 == 1 else w + 1
+            if "max_level" in t:   # OpenCV maxLevel is 0-based
+                lk_kwargs["levels"] = int(t["max_level"]) + 1
+            if "criteria_max_count" in t:
+                lk_kwargs["iterations"] = int(t["criteria_max_count"])
+        # descriptor_config (orb patch size) is accepted for config parity;
+        # the steered-BRIEF kernel's pattern radius is compile-time fixed
+        return VisualFeatureTracker(
+            camera, fast_cfg=det.FastConfig(**fast_kwargs),
+            lk_cfg=trk.LKConfig(**lk_kwargs), min_features=min_features)
+
     @staticmethod
     def from_yaml(path: str) -> "LocalMapperConfig":
         """Load a reference-style pipeline YAML (same key names as
@@ -147,6 +235,7 @@ class LocalMapperConfig:
             raw = yaml.safe_load(f) or {}
         cfg = LocalMapperConfig.from_dict(raw)
         cfg.config_root = os.path.dirname(os.path.abspath(path))
+        cfg.apply_json_tiers()
         return cfg
 
     @staticmethod
@@ -164,6 +253,11 @@ class LocalMapperConfig:
             "registration_config": "registration_config",
             "matcher_config": "matcher_config",
             "input_filters_config": "input_filters_config",
+            "information_weights_config": "information_weights_config",
+            "frame_initializer_config": "frame_initializer_config",
+            "detector_config": "detector_config",
+            "tracker_config": "tracker_config",
+            "descriptor_config": "descriptor_config",
         }
         for key, attr in simple.items():
             if key in raw:

@@ -49,8 +49,18 @@ class LocalMapper:
         # acceleration averages out of the measured gravity direction
         self.gravity_alignment = (
             GravityAlignment(self.smoother, GravityAlignmentParams(
-                info_weight=2.0, smooth_window=201, max_imu_dt=0.05))
+                info_weight=config.gravity_info_weight,
+                smooth_window=201, max_imu_dt=0.05))
             if config.use_gravity_alignment else None)
+        # frame-initializer source (frame_initializers/*.json): POSEFILE
+        # swaps the IO-odometry pose lookup for an offline pose file
+        self._pose_file_init = None
+        if config.frame_init_type in ("POSEFILE", "PATH") \
+                and config.frame_init_path:
+            from beam_slam_tpu.pipeline.frame_initializer import \
+                PoseFileFrameInitializer
+            self._pose_file_init = PoseFileFrameInitializer(
+                config.frame_init_path)
 
         self.lo = None
         if use_lidar:
@@ -83,7 +93,7 @@ class LocalMapper:
                 else np.array([1, 0, 0, 0], np.float32),
                 cal.p_baselink_cam if cal.p_baselink_cam is not None
                 else np.zeros(3))
-            self.tracker = VisualFeatureTracker(cal.camera)
+            self.tracker = config.build_tracker(cal.camera)
             self.vo = VisualOdometry(
                 self.smoother, cal.camera, config.vo, sensor_name="cam0",
                 trigger_cb=self._trigger,
@@ -110,6 +120,10 @@ class LocalMapper:
         return self.init.initialized
 
     def _frame_init(self, t: float):
+        if self._pose_file_init is not None:
+            out = self._pose_file_init.get_pose(t)
+            if out is not None:
+                return out
         q, p, _ = self.io.model.get_pose(t)
         return q, p
 

@@ -45,3 +45,28 @@ def test_unknown_keys_ignored(tmp_path):
     p.write_text("mode: LIO\nnot_a_real_key: 42\n")
     cfg = LocalMapperConfig.from_yaml(str(p))
     assert cfg.mode == "LIO"
+
+
+def test_json_tiers_apply_information_weights_and_kernels():
+    """The remaining JSON sub-config tiers of beam_slam_launch/config:
+    optimization/*_information_weights.json (w -> cov = 1/w^2),
+    frame_initializers/io.json, and the vo/ kernel configs must load from
+    the pipeline YAML and land in the in-struct params."""
+    import os
+
+    from beam_slam_tpu.pipeline.config import LocalMapperConfig
+    from beam_slam_tpu.vision.camera import PinholeRadtan
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    cfg = LocalMapperConfig.from_yaml(os.path.join(root, "lvio.yaml"))
+    assert cfg.imu.info_weight == 1.0
+    assert cfg.scan_registration.covariance_weight == 1.0 / (100.0 ** 2)
+    assert cfg.vo.standalone_rel_cov == 1.0 / (10.0 ** 2)
+    assert cfg.gravity_info_weight == 10.0
+    assert cfg.frame_init_type == "ODOMETRY"
+    tracker = cfg.build_tracker(PinholeRadtan(400.0, 400.0, 320.0, 240.0))
+    assert tracker.fast_cfg.threshold == 20.0
+    assert tracker.lk_cfg.window == 21
+    assert tracker.lk_cfg.levels == 4
+    assert tracker.lk_cfg.iterations == 30
+    assert tracker.min_features == 150
