@@ -82,6 +82,30 @@ class GlobalMapParams:
         return p
 
 
+def global_map_from_config(source, config_root: Optional[str] = None
+                           ) -> "GlobalMap":
+    """Build a GlobalMap from a reference-style global_map.json, honoring
+    the candidate-search / refinement sub-config file references
+    (loop_closure_candidate_search_config / loop_closure_refinement_config,
+    beam_slam_launch/config/global_map/global_map.json)."""
+    from beam_slam_tpu.global_mapping import reloc as rl
+    from beam_slam_tpu.lidar.scan_registration import _load_json
+
+    cfg = _load_json(source, config_root)
+    params = GlobalMapParams.from_json(cfg)
+    search = None
+    cs_ref = (cfg.get("loop_closure_candidate_search_config")
+              or cfg.get("loop_closure_candidate_search"))
+    if cs_ref is not None:
+        search = rl.create_candidate_search(cs_ref, config_root)
+    refinement = None
+    rf_ref = (cfg.get("loop_closure_refinement_config")
+              or cfg.get("loop_closure_refinement"))
+    if rf_ref is not None:
+        refinement = rl.create_reloc_refinement(rf_ref, config_root)
+    return GlobalMap(params, candidate_search=search, refinement=refinement)
+
+
 class GlobalMap:
     def __init__(self, params: GlobalMapParams = GlobalMapParams(),
                  candidate_search=None, refinement=None):

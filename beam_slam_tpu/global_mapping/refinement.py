@@ -53,6 +53,29 @@ class RefinementParams:
     solver: gn.SolverOptions = gn.SolverOptions(max_iterations=10)
     max_keyframes_per_submap: int = 16
 
+    @staticmethod
+    def from_json(source, config_root=None) -> "RefinementParams":
+        """global_map_refinement.json → params (submap_refinement block +
+        loop_closure covariances; matcher_config supplies correspondence
+        iterations/distance)."""
+        from beam_slam_tpu.lidar.scan_registration import _load_json
+        cfg = _load_json(source, config_root)
+        p = RefinementParams()
+        lc = cfg.get("loop_closure", {})
+        if "local_mapper_covariance" in lc:
+            p.prior_cov = float(lc["local_mapper_covariance"])
+        if "loop_closure_covariance" in lc:
+            p.registration_cov = float(lc["loop_closure_covariance"])
+        sr = cfg.get("submap_refinement", {})
+        if sr.get("matcher_config"):
+            m = _load_json(sr["matcher_config"], config_root)
+            p.scan_registration_cfg = reg.LoamRegistrationConfig(
+                iterations=int(m.get("max_correspondence_iterations", 5))
+                + 3,
+                max_corr_dist=float(
+                    m.get("max_correspondence_distance", 1.0)))
+        return p
+
 
 def _per_kf_blocks(submap):
     """Per-keyframe feature blocks in the submap frame (fixed block sizes →
@@ -257,6 +280,26 @@ class BatchOptimizationParams:
     outlier_k_mad: float = 3.0
     solver: gn.SolverOptions = gn.SolverOptions(max_iterations=20)
     max_keyframes: int = 128
+
+    @staticmethod
+    def from_json(source, config_root=None) -> "BatchOptimizationParams":
+        """global_map_refinement.json 'batch_optimizer' block →
+        params (lc_* loop-closure gates + covariance multiplier)."""
+        from beam_slam_tpu.lidar.scan_registration import _load_json
+        cfg = _load_json(source, config_root)
+        b = cfg.get("batch_optimizer", cfg)
+        p = BatchOptimizationParams()
+        if "lc_scan_context_dist_thres" in b:
+            p.sc_max_distance = float(b["lc_scan_context_dist_thres"])
+        if "lc_max_per_query_scan" in b:
+            p.max_loop_candidates_per_kf = int(b["lc_max_per_query_scan"])
+        if "lc_min_traj_dist_m" in b:
+            # reference gates by trajectory distance; at the ~1 m/s survey
+            # speed of its platforms this maps 1:1 onto separation seconds
+            p.loop_min_separation_s = float(b["lc_min_traj_dist_m"])
+        if "lc_cov_multiplier" in b:
+            p.rel_cov = p.rel_cov * float(b["lc_cov_multiplier"])
+        return p
 
 
 def run_batch_optimization(global_map: GlobalMap,

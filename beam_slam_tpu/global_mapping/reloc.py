@@ -145,3 +145,39 @@ class LoamRelocRefinement:
             ok = False
         return RelocResult(ok, np.asarray(res.q), np.asarray(res.p),
                            np.asarray(res.information))
+
+
+# -- JSON config factories (RelocCandidateSearchBase::Create /
+#    RelocRefinementBase::Create analogs; schemas follow
+#    beam_slam_launch/config/global_map/reloc_*.json) ----------------------
+
+def create_candidate_search(source, config_root: Optional[str] = None):
+    """reloc_candidate_search_{eucdist,scan_context}.json → search object."""
+    from beam_slam_tpu.lidar.scan_registration import _load_json
+    cfg = _load_json(source, config_root)
+    t = cfg.get("type", "EUCDIST").upper()
+    if t == "EUCDIST":
+        return EuclideanCandidateSearch(
+            max_distance_m=float(cfg.get("distance_threshold_m", 10.0)))
+    if t in ("SCANCONTEXT", "SCAN_CONTEXT"):
+        return ScanContextCandidateSearch(
+            max_distance=float(cfg.get("scan_context_dist_thres", 0.25)))
+    raise ValueError(f"unknown candidate search type {t!r}")
+
+
+def create_reloc_refinement(source, config_root: Optional[str] = None):
+    """reloc_refinement_loam_registration.json → refinement object. The
+    matcher_config sub-file supplies correspondence distance/iterations."""
+    from beam_slam_tpu.lidar.scan_registration import _load_json
+    cfg = _load_json(source, config_root)
+    t = cfg.get("type", "LOAM").upper()
+    if t != "LOAM":
+        raise ValueError(f"reloc refinement type {t!r} not implemented "
+                         "(reference ships LOAM only for submaps)")
+    kwargs = {}
+    if cfg.get("matcher_config"):
+        m = _load_json(cfg["matcher_config"], config_root)
+        kwargs["reg_cfg"] = reg.LoamRegistrationConfig(
+            iterations=int(m.get("max_correspondence_iterations", 7)) + 3,
+            max_corr_dist=float(m.get("max_correspondence_distance", 2.0)))
+    return LoamRelocRefinement(**kwargs)

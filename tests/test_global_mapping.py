@@ -233,3 +233,26 @@ def test_vo_params_from_reference_json():
     assert p.max_triangulation_reproj_px == 5.0
     p2 = VOParams.from_json(dict(use_idp=True, standalone_vo=True))
     assert p2.landmark_type == "IDP" and p2.standalone
+
+
+def test_global_map_from_config_with_subconfig_files():
+    """global_map.json with candidate-search / refinement sub-config FILE
+    references builds the right objects (the *_config path tier of the
+    reference's global_map.json)."""
+    from beam_slam_tpu.global_mapping.global_map import global_map_from_config
+    from beam_slam_tpu.global_mapping.reloc import (EuclideanCandidateSearch,
+                                                    LoamRelocRefinement)
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    gm = global_map_from_config(dict(
+        submap_size_m=7,
+        loop_closure_candidate_search_config=(
+            "global_map/reloc_candidate_search_eucdist.json"),
+        loop_closure_refinement_config=(
+            "global_map/reloc_refinement_loam_registration.json"),
+    ), config_root=root)
+    assert gm.params.submap_size_m == 7
+    assert isinstance(gm.candidate_search, EuclideanCandidateSearch)
+    assert gm.candidate_search.max_distance_m == 3.0
+    assert isinstance(gm.refinement, LoamRelocRefinement)
+    assert gm.refinement.reg_cfg.max_corr_dist > 0

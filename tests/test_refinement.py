@@ -140,3 +140,23 @@ def test_refinement_cli_roundtrip(tmp_path, rng):
     with open(out_dir + "/refinement_stats.json") as f:
         stats = json.load(f)
     assert "refinement_cost" in stats
+
+
+def test_refinement_params_from_json():
+    """global_map_refinement.json loads into both param structs (the
+    reference's gflags+JSON CLI config path)."""
+    import os
+
+    from beam_slam_tpu.global_mapping.refinement import (
+        BatchOptimizationParams, RefinementParams)
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    path = os.path.join(root, "global_map", "global_map_refinement.json")
+    p = RefinementParams.from_json(path, config_root=root)
+    assert p.prior_cov == 1e-3
+    assert p.registration_cov == 1e-4
+    assert p.scan_registration_cfg.max_corr_dist > 0
+    b = BatchOptimizationParams.from_json(path, config_root=root)
+    assert b.sc_max_distance == 0.35
+    assert b.max_loop_candidates_per_kf == 2
+    assert b.loop_min_separation_s == 5.0

@@ -32,6 +32,10 @@ def main(argv=None):
     ap.add_argument("--run_submap_alignment", action="store_true")
     ap.add_argument("--run_posegraph_optimization", action="store_true")
     ap.add_argument("--run_batch_optimization", action="store_true")
+    ap.add_argument("--refinement_config", default=None,
+                    help="global_map_refinement.json (reference schema); "
+                         "paths inside resolve against --config_root")
+    ap.add_argument("--config_root", default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
     args = ap.parse_args(argv)
@@ -49,6 +53,14 @@ def main(argv=None):
     print(f"loaded {len(gm.submaps)} submaps from {args.globalmap_dir}")
     mesh = sharded.make_mesh() if jax.device_count() > 1 else None
 
+    ref_params = refinement.RefinementParams()
+    batch_params = refinement.BatchOptimizationParams()
+    if args.refinement_config:
+        ref_params = refinement.RefinementParams.from_json(
+            args.refinement_config, args.config_root)
+        batch_params = refinement.BatchOptimizationParams.from_json(
+            args.refinement_config, args.config_root)
+
     run_all = not (args.run_submap_refinement or args.run_submap_alignment
                    or args.run_posegraph_optimization
                    or args.run_batch_optimization)
@@ -56,7 +68,7 @@ def main(argv=None):
     t0 = time.perf_counter()
     if run_all or args.run_submap_refinement:
         stats["refinement_cost"] = refinement.run_submap_refinement(
-            gm, mesh=mesh)
+            gm, params=ref_params, mesh=mesh)
         print("submap refinement done:", stats["refinement_cost"])
     if run_all or args.run_submap_alignment:
         stats["submaps_aligned"] = refinement.run_submap_alignment(gm)
@@ -65,7 +77,8 @@ def main(argv=None):
         stats["loop_closures"] = refinement.run_pose_graph_optimization(gm)
         print("pose graph optimization done:", stats["loop_closures"])
     if run_all or args.run_batch_optimization:
-        stats["batch"] = refinement.run_batch_optimization(gm)
+        stats["batch"] = refinement.run_batch_optimization(
+            gm, params=batch_params)
         print("batch optimization done:", stats["batch"])
     stats["wall_s"] = time.perf_counter() - t0
 
