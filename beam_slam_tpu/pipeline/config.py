@@ -96,6 +96,11 @@ class LocalMapperConfig:
     frame_init_type: str = "ODOMETRY"
     frame_init_path: Optional[str] = None
     gravity_info_weight: float = 2.0
+    # optimization/ceres_config.json tier (solver internals + robust loss)
+    solver_config: Optional[str] = None
+    max_solver_time_s: Optional[float] = None
+    function_tolerance: float = 1e-6
+    robust_loss_scale: float = 1.0
     # GravityAlignment plugin (roll/pitch anchoring factors per keyframe)
     use_gravity_alignment: bool = True
     init: InitParams = dataclasses.field(default_factory=InitParams)
@@ -117,12 +122,14 @@ class LocalMapperConfig:
             max_reprojection_factors=(self.max_reprojection_factors
                                       if use_cam else 1),
             max_idp_factors=512 if use_idp else 1,
-            cauchy_loss_rel_pose=1.0,
+            cauchy_loss_rel_pose=self.robust_loss_scale,
+            max_solver_time_s=self.max_solver_time_s,
             # early_exit: stop at function_tolerance like the reference's
             # Ceres loop (lvio.yaml max_num_iterations is a CAP, not a
             # budget); bit-identical to the fixed-length scan because the
             # scan's post-convergence iterations are inert
             solver=gn.SolverOptions(max_iterations=self.max_iterations,
+                                    function_tolerance=self.function_tolerance,
                                     early_exit=True),
         )
 
@@ -189,6 +196,23 @@ class LocalMapperConfig:
             # ODOMETRY and the file path for POSEFILE/PATH
             if self.frame_init_type in ("POSEFILE", "PATH"):
                 self.frame_init_path = self._resolve(fi.get("info", ""))
+        if self.solver_config:
+            # optimization/ceres_config.json: solver internals + robust
+            # loss. linear_solver/preconditioner/threads have no analog —
+            # the solve is one dense Schur-reduced Cholesky on chip.
+            with open(self._resolve(self.solver_config)) as f:
+                sc = _json.load(f)
+            so = sc.get("solver_options", {})
+            if "max_num_iterations" in so:
+                self.max_iterations = int(so["max_num_iterations"])
+            if "max_solver_time_in_seconds" in so:
+                self.max_solver_time_s = float(
+                    so["max_solver_time_in_seconds"])
+            if "function_tolerance" in so:
+                self.function_tolerance = float(so["function_tolerance"])
+            lf = sc.get("loss_function") or {}
+            if "scaling" in lf:  # HUBER/CAUCHY scale → our Cauchy scale
+                self.robust_loss_scale = float(lf["scaling"])
 
     def build_tracker(self, camera):
         """VisualFeatureTracker honoring the vo/ JSON kernel configs
@@ -258,6 +282,7 @@ class LocalMapperConfig:
             "detector_config": "detector_config",
             "tracker_config": "tracker_config",
             "descriptor_config": "descriptor_config",
+            "solver_config": "solver_config",
         }
         for key, attr in simple.items():
             if key in raw:
@@ -265,6 +290,10 @@ class LocalMapperConfig:
         so = raw.get("solver_options", {})
         if "max_num_iterations" in so:
             cfg.max_iterations = int(so["max_num_iterations"])
+        if "max_solver_time_in_seconds" in so:
+            cfg.max_solver_time_s = float(so["max_solver_time_in_seconds"])
+        if "function_tolerance" in so:
+            cfg.function_tolerance = float(so["function_tolerance"])
         init = raw.get("slam_initialization", {})
         if init:
             cfg.init = InitParams(

@@ -70,3 +70,23 @@ def test_json_tiers_apply_information_weights_and_kernels():
     assert tracker.lk_cfg.levels == 4
     assert tracker.lk_cfg.iterations == 30
     assert tracker.min_features == 150
+
+
+def test_ceres_config_json_tier():
+    """optimization/ceres_config.json -> SolverOptions + wall-clock budget
+    + robust-loss scale (the reference's solver-internals JSON)."""
+    import os
+
+    from beam_slam_tpu.pipeline.config import LocalMapperConfig
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    cfg = LocalMapperConfig.from_dict(dict(
+        mode="LIO", solver_config="optimization/ceres_config.json"))
+    cfg.config_root = root
+    cfg.apply_json_tiers()
+    assert cfg.max_iterations == 10
+    assert cfg.max_solver_time_s == 0.05
+    assert cfg.function_tolerance == 1e-6
+    sm_cfg = cfg.smoother_config()
+    assert sm_cfg.max_solver_time_s == 0.05
+    assert sm_cfg.solver.function_tolerance == 1e-6
