@@ -50,6 +50,87 @@ class CalibrationConfig:
     lidar_rings: int = 16
     lidar_width: int = 1800
 
+    @staticmethod
+    def from_yaml(path: str,
+                  calibrations_root: Optional[str] = None
+                  ) -> "CalibrationConfig":
+        """Load the reference's calibration tier: calibration_params.yaml
+        (frame ids, sensor rates, intrinsics path) + the per-robot
+        extrinsics.json with 4x4 row-major transforms
+        (beam_slam_launch/config/calibration_params.yaml,
+        calibrations/*/extrinsics.json)."""
+        import json as _json
+
+        import jax.numpy as jnp
+
+        from beam_slam_tpu.core import lie
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        # keys may be namespaced ("/calibration_params/imu_hz") or plain
+        flat = {k.rsplit("/", 1)[-1]: v for k, v in raw.items()}
+        root = calibrations_root or os.path.join(
+            os.path.dirname(os.path.abspath(path)), "calibrations")
+        cfg = CalibrationConfig(
+            imu_hz=float(flat.get("imu_hz", 200.0)),
+            camera_hz=float(flat.get("camera_hz", 20.0)),
+            lidar_hz=float(flat.get("lidar_hz", 10.0)))
+
+        cam_path = flat.get("camera_intrinsics_path")
+        if cam_path:
+            with open(os.path.join(root, cam_path)) as f:
+                cam = _json.load(f)
+            intr = cam.get("intrinsics", [])
+            ctype = cam.get("camera_type", "RADTAN").upper()
+            dist = [0.0] * 4
+            if ctype in ("RADTAN", "PINHOLE", "KANNALABRANDT"):
+                dist = (list(intr[4:8]) + [0.0] * 4)[:4]
+            # other models (e.g. DOUBLESPHERE) fall back to the pinhole
+            # core fx/fy/cx/cy — distortion handled upstream by the driver
+            cfg = dataclasses.replace(cfg, camera=PinholeRadtan(
+                float(intr[0]), float(intr[1]), float(intr[2]),
+                float(intr[3]), *[float(d) for d in dist],
+                width=int(cam.get("image_width", 640)),
+                height=int(cam.get("image_height", 480))))
+
+        ext_path = flat.get("extrinsics_path")
+        if ext_path is None and os.path.isdir(root):
+            # reference convention: one extrinsics.json per robot dir
+            for d in sorted(os.listdir(root)):
+                cand = os.path.join(root, d, "extrinsics.json")
+                if os.path.isfile(cand):
+                    ext_path = cand
+                    break
+        elif ext_path is not None:
+            ext_path = os.path.join(root, ext_path)
+        if ext_path and os.path.isfile(ext_path):
+            with open(ext_path) as f:
+                ext = _json.load(f)
+            base = flat.get("baselink_frame", flat.get("imu_frame", ""))
+
+            def find(frame):
+                for c in ext.get("calibrations", []):
+                    pair = (c["from_frame"], c["to_frame"])
+                    if frame not in pair or base not in pair:
+                        continue
+                    T = np.asarray(c["transform"],
+                                   np.float64).reshape(4, 4)
+                    if c["from_frame"] == base:  # stored base→sensor^-1?
+                        # transform maps from_frame→to_frame points:
+                        # T_to_from. We need T_base_sensor.
+                        T = np.linalg.inv(T)
+                    q = np.asarray(lie.matrix_to_quat(
+                        jnp.asarray(T[:3, :3], jnp.float32)))
+                    return q.astype(np.float32), T[:3, 3].astype(np.float32)
+                return None, None
+
+            q_c, p_c = find(flat.get("camera_frame", ""))
+            q_l, p_l = find(flat.get("lidar_frame", ""))
+            cfg = dataclasses.replace(
+                cfg, q_baselink_cam=q_c, p_baselink_cam=p_c,
+                q_baselink_lidar=q_l, p_baselink_lidar=p_l)
+        return cfg
+
 
 @dataclasses.dataclass
 class LocalMapperConfig:

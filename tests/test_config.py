@@ -90,3 +90,37 @@ def test_ceres_config_json_tier():
     sm_cfg = cfg.smoother_config()
     assert sm_cfg.max_solver_time_s == 0.05
     assert sm_cfg.solver.function_tolerance == 1e-6
+
+
+def test_calibration_yaml_tier():
+    """calibration_params.yaml + calibrations/<robot>/{cam.json,
+    extrinsics.json} (4x4 row-major transforms, to_frame = baselink) load
+    into CalibrationConfig."""
+    import os
+
+    import numpy as np
+
+    from beam_slam_tpu.pipeline.config import CalibrationConfig
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    cfg = CalibrationConfig.from_yaml(
+        os.path.join(root, "calibration_params.yaml"),
+        calibrations_root=os.path.join(root, "calibrations"))
+    assert cfg.imu_hz == 200 and cfg.camera_hz == 20 and cfg.lidar_hz == 10
+    assert cfg.camera is not None
+    assert cfg.camera.fx == 400.0 and cfg.camera.k1 == -0.05
+    assert cfg.camera.width == 640
+    # camera: transform is from_frame=cam -> to_frame=imu (T_imu_cam)
+    np.testing.assert_allclose(cfg.p_baselink_cam, [0.10, 0.0, 0.05],
+                               atol=1e-6)
+    # quat of the z-forward camera rotation: R = [[0,0,1],[-1,0,0],[0,-1,0]]
+    R_cam = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], float)
+    from beam_slam_tpu.core import lie
+    import jax.numpy as jnp
+    q_ref = np.asarray(lie.matrix_to_quat(jnp.asarray(R_cam, jnp.float32)))
+    assert (np.allclose(cfg.q_baselink_cam, q_ref, atol=1e-5)
+            or np.allclose(cfg.q_baselink_cam, -q_ref, atol=1e-5))
+    np.testing.assert_allclose(cfg.p_baselink_lidar, [0.05, 0.0, -0.08],
+                               atol=1e-6)
+    np.testing.assert_allclose(cfg.q_baselink_lidar, [1, 0, 0, 0],
+                               atol=1e-6)
