@@ -49,6 +49,9 @@ class CalibrationConfig:
     lidar_type: str = "velodyne"  # velodyne | ouster | auto
     lidar_rings: int = 16
     lidar_width: int = 1800
+    # IMU noise densities from the robot's imu.json (imu_intrinsics_path);
+    # None = keep the pipeline YAML / ImuParams defaults
+    imu_intrinsics: Optional[ImuParams] = None
 
     @staticmethod
     def from_yaml(path: str,
@@ -92,6 +95,16 @@ class CalibrationConfig:
                 float(intr[3]), *[float(d) for d in dist],
                 width=int(cam.get("image_width", 640)),
                 height=int(cam.get("image_height", 480))))
+
+        imu_path = flat.get("imu_intrinsics_path")
+        if imu_path:
+            with open(os.path.join(root, imu_path)) as f:
+                imu = _json.load(f)
+            cfg = dataclasses.replace(cfg, imu_intrinsics=ImuParams(
+                cov_gyro_noise=float(imu.get("cov_gyro_noise", 1e-4)),
+                cov_accel_noise=float(imu.get("cov_accel_noise", 1e-3)),
+                cov_gyro_bias=float(imu.get("cov_gyro_bias", 1e-6)),
+                cov_accel_bias=float(imu.get("cov_accel_bias", 1e-5))))
 
         ext_path = flat.get("extrinsics_path")
         if ext_path is None and os.path.isdir(root):

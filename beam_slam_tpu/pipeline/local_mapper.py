@@ -44,6 +44,12 @@ class LocalMapper:
         use_lidar = config.mode in ("LIO", "LVIO")
         use_vision = config.mode in ("VIO", "LVIO")
 
+        if cal.imu_intrinsics is not None:
+            # robot imu.json noise densities override the pipeline YAML;
+            # the factor info weight stays a pipeline-level choice
+            import dataclasses as _dc
+            config.imu = _dc.replace(cal.imu_intrinsics,
+                                     info_weight=config.imu.info_weight)
         self.io = InertialOdometry(self.smoother, config.imu)
         # long smoothing window (~1 s at 200 Hz) so oscillatory platform
         # acceleration averages out of the measured gravity direction

@@ -124,3 +124,7 @@ def test_calibration_yaml_tier():
                                atol=1e-6)
     np.testing.assert_allclose(cfg.q_baselink_lidar, [1, 0, 0, 0],
                                atol=1e-6)
+    # imu.json noise densities
+    assert cfg.imu_intrinsics is not None
+    assert cfg.imu_intrinsics.cov_gyro_noise == 0.0006
+    assert cfg.imu_intrinsics.cov_accel_bias == 3.0e-6
