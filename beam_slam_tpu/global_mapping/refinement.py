@@ -46,8 +46,12 @@ from beam_slam_tpu.solver import gauss_newton as gn
 class RefinementParams:
     """global_map_refinement.json equivalents."""
 
+    # offline refinement favors accuracy: refit correspondences every GN
+    # step (the reference's *_slow matcher configs iterate correspondences
+    # up to 10x; online scan-to-map uses corr_refits=2)
     scan_registration_cfg: reg.LoamRegistrationConfig = \
-        reg.LoamRegistrationConfig(iterations=8, max_corr_dist=1.0)
+        reg.LoamRegistrationConfig(iterations=8, corr_refits=8,
+                                   max_corr_dist=1.0)
     prior_cov: float = 1e-2         # avg-covariance priors on current poses
     registration_cov: float = 1e-4
     solver: gn.SolverOptions = gn.SolverOptions(max_iterations=10)
@@ -69,9 +73,9 @@ class RefinementParams:
         sr = cfg.get("submap_refinement", {})
         if sr.get("matcher_config"):
             m = _load_json(sr["matcher_config"], config_root)
+            refits = max(int(m.get("max_correspondence_iterations", 8)), 1)
             p.scan_registration_cfg = reg.LoamRegistrationConfig(
-                iterations=int(m.get("max_correspondence_iterations", 5))
-                + 3,
+                iterations=refits, corr_refits=refits,
                 max_corr_dist=float(
                     m.get("max_correspondence_distance", 1.0)))
         return p
@@ -392,7 +396,8 @@ def run_batch_optimization(global_map: GlobalMap,
             dp0 = lie.quat_rotate(q_ii, jnp.asarray(p_j - p_i))
             res = reg.register_loam(fc_j, me, mev, ms, msv, dq0, dp0,
                                     reg.LoamRegistrationConfig(
-                                        iterations=10, max_corr_dist=2.0))
+                                        iterations=10, corr_refits=10,
+                                        max_corr_dist=2.0))
             if not bool(res.converged):
                 continue
             loops.append((t_i, t_j, np.asarray(res.q), np.asarray(res.p),

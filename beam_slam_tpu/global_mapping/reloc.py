@@ -106,8 +106,10 @@ class LoamRelocRefinement:
     """Submap-to-submap LOAM registration refinement
     (reloc_refinement_loam_registration.cpp)."""
 
+    # large-correction offline registration: refit correspondences every
+    # GN step (accuracy over speed)
     reg_cfg: reg.LoamRegistrationConfig = reg.LoamRegistrationConfig(
-        iterations=10, max_corr_dist=2.0)
+        iterations=10, corr_refits=10, max_corr_dist=2.0)
     max_correction_trans_m: float = 5.0
 
     def refine(self, match: Submap, query: Submap) -> RelocResult:
@@ -177,7 +179,8 @@ def create_reloc_refinement(source, config_root: Optional[str] = None):
     kwargs = {}
     if cfg.get("matcher_config"):
         m = _load_json(cfg["matcher_config"], config_root)
+        refits = int(m.get("max_correspondence_iterations", 7)) + 3
         kwargs["reg_cfg"] = reg.LoamRegistrationConfig(
-            iterations=int(m.get("max_correspondence_iterations", 7)) + 3,
+            iterations=refits, corr_refits=refits,
             max_corr_dist=float(m.get("max_correspondence_distance", 2.0)))
     return LoamRelocRefinement(**kwargs)

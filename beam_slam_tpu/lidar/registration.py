@@ -30,7 +30,18 @@ from beam_slam_tpu.lidar.cloud import FeatureCloud
 
 
 class LoamRegistrationConfig(NamedTuple):
+    # Total GN step budget. The steps are split across ``corr_refits``
+    # correspondence fits: each fit runs a k-NN search + line/plane fits,
+    # then ``ceil(iterations / corr_refits)`` fixed-correspondence GN steps
+    # (the analog of libbeam's LoamMatcher, which refits correspondences
+    # ``max_correspondence_iterations`` times with a Ceres solve between —
+    # the production VLP-16 config refits ONCE,
+    # beam_slam_launch/config/matchers/loam_vlp16.json:
+    # iterate_correspondences=false, max_correspondence_iterations=1).
+    # The k-NN + neighbor fits dominate the kernel cost, so fewer refits
+    # ≈ proportionally faster registration.
     iterations: int = 8
+    corr_refits: int = 2
     k_edge: int = 5
     # k_surf must be large enough to reach across scan rings: the k nearest
     # neighbors of a surface point are often collinear along its own ring,
@@ -102,20 +113,19 @@ def _edge_residuals(pts_map, pts_valid, map_edges, map_valid,
 
 def _plane_residuals(pts_map, pts_valid, map_surfs, map_valid,
                      cfg: LoamRegistrationConfig):
-    """Fit plane n·x + 1 = 0 to the k-NN of each scan surface point (A-LOAM
-    style least squares); returns (unit normal, offset, weight)."""
+    """Fit a plane to the k-NN of each scan surface point; returns
+    (unit normal, offset, weight) with the plane as n·x + offset = 0.
+
+    The normal comes from the *centered* neighbor scatter (smallest
+    principal direction = cross of the two largest, via power iteration +
+    deflation — all fusible VPU math). The A-LOAM ``n·x + 1 = 0``
+    least-squares form solves Σ x xᵀ, whose condition number grows like
+    (range / patch size)² — catastrophically ill-conditioned in f32 for
+    far-away patches; the centered scatter is invariant to the patch's
+    distance from the origin."""
     idx, d2 = _knn(pts_map, pts_valid, map_surfs, map_valid, cfg.k_surf)
     nb = map_surfs[idx]                              # [N, k, 3]
     nb_ok = map_valid[idx] & jnp.isfinite(d2)
-    A = nb
-    AtA = jnp.einsum("nki,nkj->nij", A, A) + 1e-6 * jnp.eye(3, dtype=A.dtype)
-    Atb = -jnp.sum(A, axis=1)
-    n = jnp.linalg.solve(AtA, Atb[..., None])[..., 0]  # plane: n·x + 1 = 0
-    norm = jnp.maximum(jnp.linalg.norm(n, axis=1, keepdims=True), 1e-9)
-    n_hat = n / norm
-    offset = 1.0 / norm[:, 0]
-    # planarity gate: neighbor scatter must be rank ≥ 2 (collinear same-ring
-    # neighbor sets fit a plane perfectly but leave its normal free)
     centroid = jnp.mean(nb, axis=1)
     X = nb - centroid[:, None, :]
     S = jnp.einsum("nki,nkj->nij", X, X)
@@ -133,7 +143,15 @@ def _plane_residuals(pts_map, pts_valid, map_surfs, map_valid,
         d2v = d2v / jnp.maximum(jnp.linalg.norm(d2v, axis=1, keepdims=True),
                                 1e-9)
     lam2 = jnp.einsum("ni,nij,nj->n", d2v, S2, d2v)
+    # planarity gate: neighbor scatter must be rank ≥ 2 (collinear same-ring
+    # neighbor sets fit a plane perfectly but leave its normal free)
     planar = lam2 > cfg.plane_planarity_min * jnp.maximum(lam1, 1e-9)
+
+    # plane normal ⊥ the two principal in-plane directions
+    n_raw = jnp.cross(d1, d2v)
+    n_norm = jnp.maximum(jnp.linalg.norm(n_raw, axis=1, keepdims=True), 1e-9)
+    n_hat = n_raw / n_norm
+    offset = -jnp.einsum("ni,ni->n", n_hat, centroid)
 
     # sanitize non-finite fits (degenerate neighbor sets) before masking
     finite = (jnp.all(jnp.isfinite(n_hat), axis=1) & jnp.isfinite(offset)
@@ -178,63 +196,77 @@ def register_loam(scan: FeatureCloud, map_edges, map_edges_valid,
                                    scan.surf_weak_valid], axis=0)
     dtype = edges.dtype
 
-    def body(carry, _):
+    refits = max(1, min(cfg.corr_refits, cfg.iterations))
+    inner_steps = -(-cfg.iterations // refits)  # ceil
+
+    def refit_body(carry, _):
         q, p = carry
+        # correspondence fit at the current estimate (the expensive stage:
+        # two k-NN searches + neighbor line/plane fits)
         e_map = lie.quat_rotate(q[None, :], edges) + p[None, :]
         s_map = lie.quat_rotate(q[None, :], surfs) + p[None, :]
-
         cen, dirs, w_e = _edge_residuals(e_map, edges_valid, map_edges,
                                          map_edges_valid, cfg)
         n_hat, off, w_s = _plane_residuals(s_map, surfs_valid, map_surfs,
                                            map_surfs_valid, cfg)
-
-        def residuals(delta):
-            dq = lie.so3_exp_quat(delta[0:3])
-            q_new = lie.quat_mul(q, dq)
-            p_new = p + delta[3:6]
-            e = lie.quat_rotate(q_new[None, :], edges) + p_new[None, :]
-            s = lie.quat_rotate(q_new[None, :], surfs) + p_new[None, :]
-            # point-to-line distance; eps-guarded sqrt: the plain norm has a
-            # NaN jacfwd gradient when the cross product is exactly zero
-            # (point on the line), which poisons the whole GN system.
-            cr = jnp.cross(e - cen, dirs)
-            r_e = jnp.sqrt(jnp.sum(cr * cr, axis=1) + 1e-12)
-            r_s = jnp.einsum("ni,ni->n", s, n_hat) + off   # point-to-plane
-            return jnp.concatenate([r_e * w_e, r_s * w_s])
-
-        delta0 = jnp.zeros(6, dtype)
-        r = residuals(delta0)
-        J = jax.jacfwd(residuals)(delta0)
-        H = J.T @ J
-        g = -J.T @ r
-        Hd = H + 1e-4 * jnp.eye(6, dtype=dtype)
-        delta = jnp.linalg.solve(Hd, g)
-        ok = jnp.all(jnp.isfinite(delta))
-        delta = jnp.where(ok, delta, 0.0)
-        # trust region: a refit with a degenerate correspondence set can
-        # produce one catastrophic step that the remaining iterations never
-        # recover from — clamp rotation/translation step norms...
-        rot_n = jnp.linalg.norm(delta[0:3])
-        tr_n = jnp.linalg.norm(delta[3:6])
-        delta = delta.at[0:3].multiply(
-            jnp.minimum(1.0, cfg.max_rot_step / jnp.maximum(rot_n, 1e-12)))
-        delta = delta.at[3:6].multiply(
-            jnp.minimum(1.0, cfg.max_trans_step / jnp.maximum(tr_n, 1e-12)))
-        # ...and reject any step that increases the (fixed-correspondence)
-        # cost.
-        cost0 = jnp.sum(r * r)
-        cost1 = jnp.sum(residuals(delta) ** 2)
-        accept = ok & (cost1 < cost0)
-        delta = jnp.where(accept, delta, 0.0)
-        q_new = lie.quat_normalize(lie.quat_mul(q, lie.so3_exp_quat(delta[0:3])))
-        p_new = p + delta[3:6]
         n_in = jnp.sum(w_e) + jnp.sum(w_s)
-        mean_r = jnp.sum(jnp.abs(r)) / jnp.maximum(n_in, 1)
-        return (q_new, p_new), (H, n_in, mean_r, ok)
+
+        def gn_body(carry2, _):
+            q, p = carry2
+
+            def residuals(delta):
+                dq = lie.so3_exp_quat(delta[0:3])
+                q_new = lie.quat_mul(q, dq)
+                p_new = p + delta[3:6]
+                e = lie.quat_rotate(q_new[None, :], edges) + p_new[None, :]
+                s = lie.quat_rotate(q_new[None, :], surfs) + p_new[None, :]
+                # point-to-line distance; eps-guarded sqrt: the plain norm
+                # has a NaN jacfwd gradient when the cross product is
+                # exactly zero (point on the line), which poisons the GN
+                # system.
+                cr = jnp.cross(e - cen, dirs)
+                r_e = jnp.sqrt(jnp.sum(cr * cr, axis=1) + 1e-12)
+                r_s = jnp.einsum("ni,ni->n", s, n_hat) + off  # pt-to-plane
+                return jnp.concatenate([r_e * w_e, r_s * w_s])
+
+            delta0 = jnp.zeros(6, dtype)
+            r = residuals(delta0)
+            J = jax.jacfwd(residuals)(delta0)
+            H = J.T @ J
+            g = -J.T @ r
+            Hd = H + 1e-4 * jnp.eye(6, dtype=dtype)
+            delta = jnp.linalg.solve(Hd, g)
+            ok = jnp.all(jnp.isfinite(delta))
+            delta = jnp.where(ok, delta, 0.0)
+            # trust region: a refit with a degenerate correspondence set can
+            # produce one catastrophic step that the remaining iterations
+            # never recover from — clamp rotation/translation step norms...
+            rot_n = jnp.linalg.norm(delta[0:3])
+            tr_n = jnp.linalg.norm(delta[3:6])
+            delta = delta.at[0:3].multiply(jnp.minimum(
+                1.0, cfg.max_rot_step / jnp.maximum(rot_n, 1e-12)))
+            delta = delta.at[3:6].multiply(jnp.minimum(
+                1.0, cfg.max_trans_step / jnp.maximum(tr_n, 1e-12)))
+            # ...and reject any step that increases the
+            # (fixed-correspondence) cost.
+            cost0 = jnp.sum(r * r)
+            cost1 = jnp.sum(residuals(delta) ** 2)
+            accept = ok & (cost1 < cost0)
+            delta = jnp.where(accept, delta, 0.0)
+            q_new = lie.quat_normalize(
+                lie.quat_mul(q, lie.so3_exp_quat(delta[0:3])))
+            p_new = p + delta[3:6]
+            mean_r = jnp.sum(jnp.abs(r)) / jnp.maximum(n_in, 1)
+            return (q_new, p_new), (H, mean_r, ok)
+
+        # fixed-correspondence GN steps (the Ceres-solve analog)
+        (q, p), (Hs, mean_rs, oks) = jax.lax.scan(
+            gn_body, (q, p), None, length=inner_steps)
+        return (q, p), (Hs[-1], n_in, mean_rs[-1], oks[-1])
 
     (q, p), (Hs, n_ins, mean_rs, oks) = jax.lax.scan(
-        body, (q0.astype(dtype), p0.astype(dtype)), None,
-        length=cfg.iterations)
+        refit_body, (q0.astype(dtype), p0.astype(dtype)), None,
+        length=refits)
     H = Hs[-1]
     n_in = n_ins[-1]
     converged = (n_in >= cfg.min_inliers) & oks[-1]

@@ -13,6 +13,7 @@ the world-frame assembly always reflects the latest poses.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -36,12 +37,50 @@ def _assemble(edges, edges_valid, surfs, surfs_valid, qs, ps, slot_used):
     return e, ev, s, sv
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _voxel_dedup(pts, valid, voxel, cap: int):
+    """First-point-per-voxel dedup to a fixed capacity, on device.
+
+    The reference voxel-downsamples the assembled scan-to-map registration
+    map (beam_slam_launch/config/registration/scan_to_map.json
+    ``downsample_voxel_size``, applied by ScanToMapLoamRegistration) —
+    overlapping scans at 10 Hz make the raw map ~S× redundant, and the
+    correspondence k-NN cost is linear in map size. Static shapes: hash the
+    voxel id, sort, keep the first point of each voxel (an actual surface
+    sample — for correspondence *targets* as good as PCL's centroid), and
+    stably compact keepers to the front of a [cap, 3] output.
+    """
+    big = jnp.iinfo(jnp.int32).max
+    cell = jnp.floor(pts / voxel).astype(jnp.int32)
+    h = ((cell[:, 0] * 73856093) ^ (cell[:, 1] * 19349663)
+         ^ (cell[:, 2] * 83492791))
+    h = jnp.where(valid, h, big)
+    order = jnp.argsort(h)
+    hs = h[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), hs[1:] != hs[:-1]])
+    keep = first & (hs != big)
+    rank = jnp.argsort(~keep)          # stable: keepers first, hash order
+    sel = order[rank[:cap]]
+    return pts[sel], keep[rank[:cap]]
+
+
 class RegistrationMap:
     def __init__(self, map_size: int = 10, edge_cap: int = 2112,
-                 surf_cap: int = 4096):
+                 surf_cap: int = 4096, world_voxel: float = 0.0,
+                 world_edge_cap: Optional[int] = None,
+                 world_surf_cap: Optional[int] = None):
         self.map_size = map_size
         self.edge_cap = edge_cap
         self.surf_cap = surf_cap
+        # world-frame map downsampling (reference: downsample_voxel_size,
+        # config/registration/scan_to_map.json). 0 disables. Capacities
+        # bound the deduped map (static kernel shapes); overlapping-scan
+        # redundancy makes half the raw size a comfortable default.
+        self.world_voxel = float(world_voxel)
+        self.world_edge_cap = int(world_edge_cap
+                                  or max(map_size * edge_cap // 2, 1024))
+        self.world_surf_cap = int(world_surf_cap
+                                  or max(map_size * surf_cap // 2, 1024))
         S = map_size
         self.edges = np.zeros((S, edge_cap, 3), np.float32)
         self.edges_valid = np.zeros((S, edge_cap), bool)
@@ -123,9 +162,14 @@ class RegistrationMap:
         mask) as device arrays — input to register_loam. Cached until the map
         changes."""
         if self._cache is None:
-            self._cache = _assemble(
+            e, ev, s, sv = _assemble(
                 jnp.asarray(self.edges), jnp.asarray(self.edges_valid),
                 jnp.asarray(self.surfs), jnp.asarray(self.surfs_valid),
                 jnp.asarray(self.q), jnp.asarray(self.p),
                 jnp.asarray(self.used))
+            if self.world_voxel > 0:
+                v = jnp.asarray(self.world_voxel, jnp.float32)
+                e, ev = _voxel_dedup(e, ev, v, cap=self.world_edge_cap)
+                s, sv = _voxel_dedup(s, sv, v, cap=self.world_surf_cap)
+            self._cache = (e, ev, s, sv)
         return self._cache

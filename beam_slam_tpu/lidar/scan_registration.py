@@ -99,10 +99,15 @@ class ScanToMapLoamRegistration:
 
     def __init__(self, params: ScanRegistrationParams = ScanRegistrationParams(),
                  reg_cfg: reg.LoamRegistrationConfig = reg.LoamRegistrationConfig(),
-                 map_size: int = 10, q_bl=None, p_bl=None):
+                 map_size: int = 10, q_bl=None, p_bl=None,
+                 downsample_voxel: float = 0.0):
         self.params = params
         self.reg_cfg = reg_cfg
-        self.map = RegistrationMap(map_size=map_size)
+        # downsample_voxel mirrors the reference's downsample_voxel_size
+        # (config/registration/scan_to_map.json): voxel-dedup the assembled
+        # world map before the correspondence k-NN
+        self.map = RegistrationMap(map_size=map_size,
+                                   world_voxel=downsample_voxel)
         # T_BASELINK_LIDAR extrinsic (identity when the lidar is the baselink)
         self.q_bl = jnp.asarray([1.0, 0, 0, 0] if q_bl is None else q_bl,
                                 jnp.float32)
@@ -435,8 +440,15 @@ def create_scan_registration(registration_config: Union[str, dict],
     params = _base_params(rcfg)
 
     if mtype == "LOAM":
+        # max_correspondence_iterations = number of correspondence refits
+        # (libbeam LoamMatcher; each refit runs a fixed-correspondence
+        # solve — here 4 GN steps per refit)
+        refits = max(int(mcfg.get("max_correspondence_iterations", 2)), 1)
+        if not mcfg.get("iterate_correspondences", True):
+            refits = 1
         reg_cfg = reg.LoamRegistrationConfig(
-            iterations=int(mcfg.get("max_correspondence_iterations", 5)) + 3,
+            iterations=4 * refits,
+            corr_refits=refits,
             max_corr_dist=float(
                 mcfg.get("max_correspondence_distance", 0.5)),
             min_inliers=int(mcfg.get("min_number_measurements", 30)))
@@ -444,7 +456,9 @@ def create_scan_registration(registration_config: Union[str, dict],
         if rtype == "SCANTOMAP":
             return ScanToMapLoamRegistration(
                 params, reg_cfg, map_size=int(rcfg.get("map_size", 10)),
-                q_bl=q_bl, p_bl=p_bl), feat_cfg
+                q_bl=q_bl, p_bl=p_bl,
+                downsample_voxel=float(
+                    rcfg.get("downsample_voxel_size", 0.0))), feat_cfg
         if rtype == "MULTISCAN":
             return MultiScanLoamRegistration(
                 params, reg_cfg,

@@ -35,6 +35,12 @@ import jax
 import jax.numpy as jnp
 
 from beam_slam_tpu.core.window import LANDMARK_DOF, WindowState
+# Closed-form cofactor inverse of batched 3x3 SPD blocks: pure elementwise
+# VPU math that XLA fuses into the surrounding Schur computation — replaces
+# the batched LU custom-call of jnp.linalg.inv (a kernel launch + unfusible
+# op per LM iteration). The damped blocks are floored well away from
+# singularity (see _solve_damped), so the adjugate form is safe.
+from beam_slam_tpu.ops.mat3 import inv3x3 as _inv3x3
 
 _DIAG_EPS = 1e-12
 
@@ -287,35 +293,6 @@ def total_cost(window: WindowState, families: Sequence,
     return cost
 
 
-def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
-    """Closed-form cofactor inverse of batched 3x3 SPD blocks [L,3,3].
-
-    Pure elementwise VPU math that XLA fuses into the surrounding Schur
-    computation — replaces the batched LU custom-call of jnp.linalg.inv
-    (a kernel-launch + unfusible op per LM iteration). The damped blocks
-    are floored well away from singularity (see _solve_damped), so the
-    adjugate form is numerically safe.
-    """
-    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
-    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
-    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
-    c00 = e * i - f * h
-    c01 = c * h - b * i
-    c02 = b * f - c * e
-    c10 = f * g - d * i
-    c11 = a * i - c * g
-    c12 = c * d - a * f
-    c20 = d * h - e * g
-    c21 = b * g - a * h
-    c22 = a * e - b * d
-    det = a * c00 + b * c10 + c * c20
-    inv_det = 1.0 / det
-    rows = jnp.stack([
-        jnp.stack([c00, c01, c02], axis=-1),
-        jnp.stack([c10, c11, c12], axis=-1),
-        jnp.stack([c20, c21, c22], axis=-1),
-    ], axis=-2)
-    return rows * inv_det[..., None, None]
 
 
 def _solve_damped(H, g, free, lam, H_ll, g_l, W, lm_free):

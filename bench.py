@@ -153,7 +153,9 @@ def main():
 
     world = synthetic_structured_scene(n_rings=16, width=504)
     fc = feat.extract_features(world)
-    rmap = RegistrationMap(map_size=10)
+    # production scan-to-map config: world map voxel-deduped at 0.1 m
+    # (configs/registration/scan_to_map.json downsample_voxel_size)
+    rmap = RegistrationMap(map_size=10, world_voxel=0.1)
     for s in range(10):
         rmap.add_scan(float(s), jnp.asarray([1.0, 0, 0, 0]),
                       jnp.asarray([0.1 * s, 0.0, 0.0]), fc)
