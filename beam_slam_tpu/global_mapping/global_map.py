@@ -216,14 +216,86 @@ class GlobalMap:
                 st = get_state(sm.stamp)
             except KeyError:
                 continue
-            sm.q = st["q"].astype(np.float32)
-            sm.p = st["p"].astype(np.float32)
+            sm.update_pose(st["q"].astype(np.float32),
+                           st["p"].astype(np.float32))
 
-    def trajectory_world(self):
+    def trajectory_world(self, use_initials: bool = False):
         out = []
         for sm in self.submaps:
-            out.extend(sm.trajectory_world())
+            out.extend(sm.trajectory_world(use_initials))
         return sorted(out, key=lambda x: x[0])
+
+    # -- world-frame artifact exports (global_map.h:287-326) ----------------
+    def save_lidar_submaps(self, directory: str, save_initial: bool = False):
+        """One world-frame PLY of lidar feature points per submap
+        (SaveLidarSubmaps :287). With ``save_initial`` a second set is
+        written from the initial submap poses."""
+        from beam_slam_tpu.obs.artifacts import write_ply
+        os.makedirs(directory, exist_ok=True)
+        for i, sm in enumerate(self.submaps):
+            pts, valid = sm.lidar_points_world()
+            write_ply(os.path.join(directory, f"lidar_submap{i:04d}.ply"),
+                      pts[valid])
+            if save_initial:
+                pts0, v0 = sm.lidar_points_world(use_initials=True)
+                write_ply(os.path.join(
+                    directory, f"lidar_submap{i:04d}_initial.ply"),
+                    pts0[v0])
+
+    def save_keypoint_submaps(self, directory: str,
+                              save_initial: bool = False):
+        """One world-frame PLY of visual landmarks per submap
+        (SaveKeypointSubmaps :298)."""
+        from beam_slam_tpu.obs.artifacts import write_ply
+        os.makedirs(directory, exist_ok=True)
+        for i, sm in enumerate(self.submaps):
+            write_ply(os.path.join(directory,
+                                   f"keypoints_submap{i:04d}.ply"),
+                      sm.landmarks_world())
+            if save_initial:
+                write_ply(os.path.join(
+                    directory, f"keypoints_submap{i:04d}_initial.ply"),
+                    sm.landmarks_world(use_initials=True))
+
+    def save_trajectory_file(self, path: str, save_initial: bool = True):
+        """Whole-trajectory TUM file (SaveTrajectoryFile :307): keyframes +
+        subframes of every submap in world frame."""
+        from beam_slam_tpu.obs.artifacts import write_trajectory_tum
+        write_trajectory_tum(path, self.trajectory_world())
+        if save_initial:
+            root, ext = os.path.splitext(path)
+            write_trajectory_tum(root + "_initial" + (ext or ".txt"),
+                                 self.trajectory_world(use_initials=True))
+
+    def save_trajectory_clouds(self, path: str, save_initial: bool = True):
+        """Trajectory positions as a point cloud (SaveTrajectoryClouds
+        :316)."""
+        from beam_slam_tpu.obs.artifacts import write_ply
+        pts = np.stack([p for _, _, p in self.trajectory_world()]) \
+            if self.submaps else np.zeros((0, 3), np.float32)
+        write_ply(path, pts)
+        if save_initial:
+            root, ext = os.path.splitext(path)
+            traj0 = self.trajectory_world(use_initials=True)
+            pts0 = (np.stack([p for _, _, p in traj0]) if traj0
+                    else np.zeros((0, 3), np.float32))
+            write_ply(root + "_initial" + (ext or ".ply"), pts0)
+
+    def save_submap_frames(self, path: str, save_initial: bool = True):
+        """Coordinate-frame frustum clouds at every submap pose
+        (SaveSubmapFrames :325)."""
+        from beam_slam_tpu.obs.artifacts import pose_frustum_cloud, write_ply
+        clouds = [pose_frustum_cloud(sm.q, sm.p) for sm in self.submaps]
+        pts = (np.concatenate(clouds) if clouds
+               else np.zeros((0, 3), np.float32))
+        write_ply(path, pts)
+        if save_initial:
+            root, ext = os.path.splitext(path)
+            clouds0 = [pose_frustum_cloud(sm.q_initial, sm.p_initial)
+                       for sm in self.submaps]
+            pts0 = (np.concatenate(clouds0) if clouds0
+                    else np.zeros((0, 3), np.float32))
+            write_ply(root + "_initial" + (ext or ".ply"), pts0)
 
     # -- checkpoint (SaveData/Load, global_map.h:249-276) -------------------
     def save(self, directory: str):

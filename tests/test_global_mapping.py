@@ -256,3 +256,81 @@ def test_global_map_from_config_with_subconfig_files():
     assert gm.candidate_search.max_distance_m == 3.0
     assert isinstance(gm.refinement, LoamRelocRefinement)
     assert gm.refinement.reg_cfg.max_corr_dist > 0
+
+
+def test_submap_time_queries_and_updates():
+    """Near/InSubmap/FindT_SUBMAP_KEYFRAME and the update counter
+    (submap.h:217-231, :128, :289-295)."""
+    sm = Submap(0.0, np.array([1, 0, 0, 0], np.float32),
+                np.zeros(3, np.float32))
+    for t in (1.0, 2.0, 3.0):
+        sm.add_lidar_keyframe(t, np.array([1, 0, 0, 0], np.float32),
+                              np.array([t, 0, 0], np.float32),
+                              features_from([1, 0, 0, 0], [t, 0, 0]))
+    sm.add_subframe_pose(2.5, np.array([1, 0, 0, 0], np.float32),
+                         np.array([2.5, 0, 0], np.float32))
+    assert sm.near(1.05, 0.1) and not sm.near(1.05, 0.01)
+    assert sm.in_submap(2.2) and not sm.in_submap(3.5)
+    got = sm.find_T_submap_keyframe(2.0)
+    assert got is not None
+    np.testing.assert_allclose(got[1], [2.0, 0, 0], atol=1e-5)
+    assert sm.find_T_submap_keyframe(9.9) is None
+    assert sm.updates == 0
+    sm.update_pose(np.array([1, 0, 0, 0], np.float32),
+                   np.array([0.1, 0, 0], np.float32))
+    assert sm.updates == 1
+    # use_initials exports reflect the pre-update pose
+    t0 = sm.trajectory_world(use_initials=True)
+    t1 = sm.trajectory_world()
+    np.testing.assert_allclose(t1[0][2] - t0[0][2], [0.1, 0, 0], atol=1e-5)
+
+
+def test_submap_triangulate_keypoints():
+    """TriangulateKeypoints (submap.h:470): recover a known 3D point from
+    two camera keyframes' pixel observations."""
+    sm = Submap(0.0, np.array([1, 0, 0, 0], np.float32),
+                np.zeros(3, np.float32))
+    fx = fy = 400.0
+    cx = cy = 320.0
+    X = np.array([0.5, -0.2, 4.0], np.float32)  # submap frame
+    for i, origin in enumerate([np.zeros(3), np.array([1.0, 0, 0])]):
+        d = X - origin.astype(np.float32)
+        u = fx * d[0] / d[2] + cx
+        v = fy * d[1] / d[2] + cy
+        sm.add_camera_keyframe(float(i), np.array([1, 0, 0, 0], np.float32),
+                               origin.astype(np.float32),
+                               ids=np.array([7]),
+                               pixels=np.array([[u, v]], np.float32))
+    n = sm.triangulate_keypoints((fx, fy, cx, cy))
+    assert n == 1
+    np.testing.assert_allclose(sm.landmarks[7], X, atol=1e-3)
+    # override=False keeps the existing point
+    sm.landmarks[7] = np.zeros(3, np.float32)
+    assert sm.triangulate_keypoints((fx, fy, cx, cy)) == 0
+    assert sm.triangulate_keypoints((fx, fy, cx, cy), override=True) == 1
+    np.testing.assert_allclose(sm.landmarks[7], X, atol=1e-3)
+
+
+def test_global_map_artifact_exports(tmp_path):
+    """World-frame export suite (global_map.h:287-326)."""
+    from beam_slam_tpu.obs.artifacts import read_ply, read_trajectory_tum
+
+    gm = GlobalMap(GlobalMapParams(submap_size_m=5.0, loop_closure=False))
+    for i, x in enumerate([0.0, 2.0, 6.0]):
+        gm.add_measurement(chunk_at(float(i), [1, 0, 0, 0], [x, 0, 0]))
+    gm.submaps[0].add_landmark(1, np.array([0.0, 1.0, 2.0], np.float32))
+    d = str(tmp_path)
+    gm.save_lidar_submaps(os.path.join(d, "lidar"), save_initial=True)
+    gm.save_keypoint_submaps(os.path.join(d, "keypoints"))
+    gm.save_trajectory_file(os.path.join(d, "traj.txt"))
+    gm.save_trajectory_clouds(os.path.join(d, "traj.ply"))
+    gm.save_submap_frames(os.path.join(d, "frames.ply"))
+    assert os.path.exists(os.path.join(d, "lidar", "lidar_submap0000.ply"))
+    assert os.path.exists(os.path.join(
+        d, "lidar", "lidar_submap0000_initial.ply"))
+    assert len(read_ply(os.path.join(
+        d, "keypoints", "keypoints_submap0000.ply"))) == 1
+    traj = read_trajectory_tum(os.path.join(d, "traj.txt"))
+    assert len(traj) == 3
+    assert os.path.exists(os.path.join(d, "traj_initial.txt"))
+    assert len(read_ply(os.path.join(d, "frames.ply"))) == 30 * 2
