@@ -72,10 +72,10 @@ class SolverOptions(NamedTuple):
     early_exit: bool = False
     # Normal-equation assembly kernel: "scatter" (per-factor scatter-adds;
     # best at small scale / XLA:CPU), "dense" (one-hot expansion to dense
-    # Jacobian rows + one JᵀJ MXU matmul; the TPU path — scatters serialize
-    # on TPU while matmuls hit the systolic array), or "auto" (dense on
-    # tpu-like backends, scatter on cpu). Both produce identical normal
-    # equations (tests/test_solver.py asserts agreement).
+    # Jacobian rows + one JᵀJ MXU matmul), "blocks" (local Gram blocks +
+    # region one-hot matmuls — the TPU path: no dense-row layout copies),
+    # or "auto" (blocks on tpu-like backends, scatter on cpu). All produce
+    # identical normal equations (tests/test_solver.py asserts agreement).
     assembly: str = "auto"
 
 
@@ -263,15 +263,205 @@ def assemble_normal_equations_dense(
     return H, g, H_ll, g_l, W, cost
 
 
+def assemble_normal_equations_blocks(
+    window: WindowState,
+    families: Sequence,
+    losses: Tuple[Optional[float], ...],
+):
+    """Block-wise matmul assembly — the fastest TPU path.
+
+    The ``dense`` path expands every factor's local Jacobian to a dense row
+    over the full window dof (``frd,fk->frkd`` one-hot einsums). On TPU the
+    expanded [F, R, K·15] tensors force layout copies + reshapes before the
+    JᵀJ matmul — profiled at ~190 µs/LM-iteration of pure data movement on
+    the flagship LVIO window (docs/PROFILE.md). This path never materializes
+    dense Jacobian rows:
+
+      * per family, one batched matmul forms the local Gram blocks
+        P[f] = J_fᵀ J_f  [F, Dl, Dl] and q[f] = J_fᵀ r_f;
+      * contributions scatter into per-region accumulators
+        (imu×imu [K,15,K,15], imu×ext [K,15,E,6], …) via *small* one-hot
+        matmuls: slot one-hots [F, K] for single-block diagonals, slot-pair
+        one-hots [F·n₁·n₂, K₁·K₂] for cross-block terms — all MXU work on
+        tensors ~100× smaller than the dense rows;
+      * the dense H is assembled from the regions with static slice writes.
+
+    Identical output contract to :func:`assemble_normal_equations`
+    (tests/test_solver.py asserts agreement of all three paths).
+    """
+    import numpy as np
+
+    from beam_slam_tpu.core import factors as fc
+    from beam_slam_tpu.core.window import IMU_DOF, MOTION_DOF, POSE_DOF
+
+    D = window.num_dense_dof
+    K = window.imu.capacity
+    E = window.extrinsics.capacity
+    M = window.motion.capacity
+    L = window.landmarks.capacity
+    dtype = window.imu.q.dtype
+
+    KINDS = (fc.BLOCK_IMU, fc.BLOCK_EXTRINSIC, fc.BLOCK_MOTION)
+    CAP = {fc.BLOCK_IMU: K, fc.BLOCK_EXTRINSIC: E, fc.BLOCK_MOTION: M}
+    DOF = {fc.BLOCK_IMU: IMU_DOF, fc.BLOCK_EXTRINSIC: POSE_DOF,
+           fc.BLOCK_MOTION: MOTION_DOF}
+    ROFF = {fc.BLOCK_IMU: 0, fc.BLOCK_EXTRINSIC: K * IMU_DOF,
+            fc.BLOCK_MOTION: K * IMU_DOF + E * POSE_DOF}
+    ORD = {k: i for i, k in enumerate(KINDS)}
+
+    A = {}        # canonical (kind1, kind2) -> [C1, d1, C2, d2]
+    Adiag = {}    # kind -> [C, d, d] same-slot diagonal contributions
+    g_reg = {k: jnp.zeros((CAP[k], DOF[k]), dtype) for k in KINDS}
+    H_ll = jnp.zeros((L, 3, 3), dtype)
+    g_l = jnp.zeros((L, 3), dtype)
+    W_rows = {}   # kind -> [C·d, L·3] pose-landmark coupling rows
+    cost = jnp.zeros((), dtype)
+
+    for fam, loss in zip(families, losses):
+        r, J, _, _, lm_slot, J_lm = fam.linearize(window)
+        F = r.shape[0]
+        s = jnp.sum(r * r, axis=-1)
+        w, rho = robust_weight(s, loss)
+        cost = cost + 0.5 * jnp.sum(rho)
+        sw = jnp.sqrt(w)
+        r = r * sw[:, None]
+        J = J * sw[:, None, None]
+
+        P = jnp.einsum("fri,frj->fij", J, J)      # [F, Dl, Dl]
+        q = jnp.einsum("fri,fr->fi", J, r)        # [F, Dl]
+
+        # dense blocks grouped by kind: kind -> (block indices, local offs)
+        blocks = [k for k in type(fam).BLOCKS if k != fc.BLOCK_LANDMARK]
+        offs, o = [], 0
+        for k in blocks:
+            offs.append(o)
+            o += fc.block_dof(k)
+        groups = {}
+        for b, k in enumerate(blocks):
+            groups.setdefault(k, []).append((b, offs[b]))
+
+        def _cols(kind):
+            """Static local-column index array for the kind's blocks."""
+            return np.concatenate([np.arange(off, off + DOF[kind])
+                                   for _, off in groups[kind]])
+
+        def _slots(kind):
+            bs = [b for b, _ in groups[kind]]
+            return fam.slots[:, bs]                       # [F, n]
+
+        # gradient: g -= Jᵀ r, region-scattered by slot one-hots
+        for kind in groups:
+            n = len(groups[kind])
+            d = DOF[kind]
+            qg = jnp.take(q, _cols(kind), axis=1).reshape(F * n, d)
+            oh = jax.nn.one_hot(_slots(kind).reshape(-1), CAP[kind],
+                                dtype=dtype)
+            g_reg[kind] = g_reg[kind] - jnp.einsum("xc,xd->cd", oh, qg)
+
+        # Hessian blocks per canonical kind pair
+        for k1 in groups:
+            for k2 in groups:
+                if ORD[k2] < ORD[k1]:
+                    continue  # mirrored at dense-assembly time
+                n1, n2 = len(groups[k1]), len(groups[k2])
+                d1, d2 = DOF[k1], DOF[k2]
+                c1, c2 = _cols(k1), _cols(k2)
+                Ps = jnp.take(jnp.take(P, c1, axis=1), c2, axis=2)
+                Ps = Ps.reshape(F, n1, d1, n2, d2)
+                if k1 == k2 and n1 == 1:
+                    # single same-kind block: diagonal contribution only
+                    oh = jax.nn.one_hot(_slots(k1)[:, 0], CAP[k1],
+                                        dtype=dtype)
+                    contrib = jnp.einsum("fc,fde->cde", oh,
+                                         Ps.reshape(F, d1, d2))
+                    Adiag[k1] = Adiag.get(
+                        k1, jnp.zeros((CAP[k1], d1, d1), dtype)) + contrib
+                    continue
+                # general: slot-pair one-hot over all ordered block combos
+                # (same-kind groups cover both mirrored halves + diagonal)
+                Ps = Ps.transpose(0, 1, 3, 2, 4).reshape(
+                    F * n1 * n2, d1, d2)
+                S1 = _slots(k1)
+                S2 = _slots(k2)
+                pair = (S1[:, :, None] * CAP[k2]
+                        + S2[:, None, :]).reshape(-1)
+                oh = jax.nn.one_hot(pair, CAP[k1] * CAP[k2], dtype=dtype)
+                contrib = jnp.einsum("xp,xde->pde", oh, Ps).reshape(
+                    CAP[k1], CAP[k2], d1, d2).transpose(0, 2, 1, 3)
+                key = (k1, k2)
+                A[key] = A.get(key, jnp.zeros(
+                    (CAP[k1], d1, CAP[k2], d2), dtype)) + contrib
+
+        # landmark system + pose-landmark coupling
+        if lm_slot is not None:
+            J_lm = J_lm * sw[:, None, None]
+            oh_lm = jax.nn.one_hot(lm_slot, L, dtype=dtype)    # [F, L]
+            Hll_f = jnp.einsum("fri,frj->fij", J_lm, J_lm)
+            H_ll = H_ll + jnp.einsum("lf,fij->lij", oh_lm.T, Hll_f)
+            gl_f = jnp.einsum("fri,fr->fi", J_lm, r)
+            g_l = g_l - jnp.einsum("lf,fi->li", oh_lm.T, gl_f)
+            Cr = jnp.einsum("frd,frc->fdc", J, J_lm)           # [F, Dl, 3]
+            for kind in groups:
+                n = len(groups[kind])
+                d = DOF[kind]
+                C = CAP[kind]
+                Cg = jnp.take(Cr, _cols(kind), axis=1).reshape(
+                    F, n, d * LANDMARK_DOF).reshape(F * n, d * LANDMARK_DOF)
+                oh_c = jax.nn.one_hot(_slots(kind).reshape(-1), C,
+                                      dtype=dtype)
+                oh_l = jnp.broadcast_to(oh_lm[:, None, :],
+                                        (F, n, L)).reshape(F * n, L)
+                # opt_einsum picks the 2-stage contraction order
+                Wk = jnp.einsum("xc,xd,xl->cdl", oh_c, Cg, oh_l)
+                Wk = Wk.reshape(C, d, LANDMARK_DOF, L).transpose(
+                    0, 1, 3, 2).reshape(C * d, L * LANDMARK_DOF)
+                W_rows[kind] = W_rows.get(kind, jnp.zeros(
+                    (C * d, L * LANDMARK_DOF), dtype)) + Wk
+
+    # assemble the dense system from the region accumulators
+    H = jnp.zeros((D + 1, D + 1), dtype)
+    for (k1, k2), Areg in A.items():
+        o1, o2 = ROFF[k1], ROFF[k2]
+        n1 = CAP[k1] * DOF[k1]
+        n2 = CAP[k2] * DOF[k2]
+        mat = Areg.reshape(n1, n2)
+        H = H.at[o1:o1 + n1, o2:o2 + n2].add(mat)
+        if k1 != k2:
+            H = H.at[o2:o2 + n2, o1:o1 + n1].add(mat.T)
+    for kind, Dk in Adiag.items():
+        C, d = CAP[kind], DOF[kind]
+        o = ROFF[kind]
+        eyeC = jnp.eye(C, dtype=dtype)
+        full = (Dk[:, :, None, :] * eyeC[:, None, :, None]).reshape(
+            C * d, C * d)
+        H = H.at[o:o + C * d, o:o + C * d].add(full)
+
+    g = jnp.zeros((D + 1,), dtype)
+    o = 0
+    for kind in KINDS:
+        n = CAP[kind] * DOF[kind]
+        g = g.at[o:o + n].set(g_reg[kind].reshape(-1))
+        o += n
+
+    W = jnp.zeros((D + 1, L * LANDMARK_DOF), dtype)
+    for kind, Wk in W_rows.items():
+        o = ROFF[kind]
+        W = W.at[o:o + Wk.shape[0], :].add(Wk)
+    return H, g, H_ll, g_l, W, cost
+
+
 def _resolve_assembly(mode: str) -> str:
     if mode != "auto":
         return mode
-    return "scatter" if jax.default_backend() == "cpu" else "dense"
+    return "scatter" if jax.default_backend() == "cpu" else "blocks"
 
 
 def _assemble(window, families, losses, mode: str):
-    if _resolve_assembly(mode) == "dense":
+    mode = _resolve_assembly(mode)
+    if mode == "dense":
         return assemble_normal_equations_dense(window, families, losses)
+    if mode == "blocks":
+        return assemble_normal_equations_blocks(window, families, losses)
     return assemble_normal_equations(window, families, losses)
 
 

@@ -276,11 +276,15 @@ def test_dense_assembly_matches_scatter():
         w, families, losses))(window)
     a_de = jax.jit(lambda w: gn.assemble_normal_equations_dense(
         w, families, losses))(window)
-    for name, x, y in zip(("H", "g", "H_ll", "g_l", "W", "cost"), a_sc, a_de):
-        x = np.asarray(x, np.float64)
-        y = np.asarray(y, np.float64)
-        scale = max(1.0, np.abs(x).max())
-        assert np.abs(x - y).max() / scale < 5e-3, name
+    a_bl = jax.jit(lambda w: gn.assemble_normal_equations_blocks(
+        w, families, losses))(window)
+    names = ("H", "g", "H_ll", "g_l", "W", "cost")
+    for other, label in ((a_de, "dense"), (a_bl, "blocks")):
+        for name, x, y in zip(names, a_sc, other):
+            x = np.asarray(x, np.float64)
+            y = np.asarray(y, np.float64)
+            scale = max(1.0, np.abs(x).max())
+            assert np.abs(x - y).max() / scale < 5e-3, (label, name)
 
     # end-to-end: LM solve with the dense path converges to the same window
     opts_sc = gn.SolverOptions(max_iterations=8, scan_length=8,
