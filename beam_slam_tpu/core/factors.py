@@ -102,6 +102,16 @@ class FactorBatch(struct.PyTreeNode):
     # dataclass fields under flax.struct's dataclass transform).
     BLOCKS = ()  # type: Tuple[str, ...]
     RESIDUAL_DIM = 0
+    # Local tangent columns the residual can actually depend on (None = all).
+    # Families whose residual reads only part of a block's state (e.g.
+    # reprojection touches the pose 6-dof of a 15-dof IMU block, never
+    # v/bg/ba) declare the live columns so jacfwd pushes only those tangents;
+    # the remaining Jacobian columns are structural zeros and are re-expanded
+    # with one tiny constant matmul after differentiation. Cuts the
+    # forward-mode tangent fan-out of the hot visual families by ~40-50%
+    # (the per-factor residual math is small-op VPU work — the solver's
+    # dominant cost on TPU, see docs/PROFILE.md).
+    USED_COLS = None  # type: Optional[Tuple[int, ...]]
 
     @property
     def capacity(self) -> int:
@@ -174,7 +184,18 @@ class FactorBatch(struct.PyTreeNode):
             for b, k in enumerate(blocks)
         )
 
+        used = cls.USED_COLS
+        if used is not None:
+            import numpy as np
+            expand_np = np.zeros((len(used), Dl), np.float64)
+            expand_np[np.arange(len(used)), list(used)] = 1.0
+            expand = jnp.asarray(expand_np, dtype)  # [Du, Dl] constant
+        else:
+            expand = None
+
         def res_one(delta, gathered_one, params_one):
+            if expand is not None:
+                delta = delta @ expand
             deltas = self._split_delta(delta)
             retr = [
                 _retract_block(k, g, d)
@@ -182,10 +203,14 @@ class FactorBatch(struct.PyTreeNode):
             ]
             return self.residual(retr, params_one)
 
-        zeros = jnp.zeros((F, Dl), dtype)
+        zeros = jnp.zeros((F, len(used) if used is not None else Dl), dtype)
         params = self.params()
         r = jax.vmap(res_one)(zeros, gathered, params)
         J = jax.vmap(jax.jacfwd(res_one, argnums=0))(zeros, gathered, params)
+        if expand is not None:
+            # re-expand the reduced Jacobian to the full local width; the
+            # dropped columns are exact (structural) zeros
+            J = jnp.einsum("fru,ud->frd", J, expand)
 
         mask = self.active
         for b, k in enumerate(blocks):
@@ -360,6 +385,7 @@ class RelativePoseFactors(FactorBatch):
 
     BLOCKS = (BLOCK_IMU, BLOCK_IMU, BLOCK_EXTRINSIC)
     RESIDUAL_DIM = 6
+    USED_COLS = (0, 1, 2, 3, 4, 5, 15, 16, 17, 18, 19, 20, 30, 31, 32, 33, 34, 35)
 
     @staticmethod
     def zeros(F: int, dtype=jnp.float32) -> "RelativePoseFactors":
@@ -399,6 +425,7 @@ class AbsolutePoseFactors(FactorBatch):
 
     BLOCKS = (BLOCK_IMU,)
     RESIDUAL_DIM = 6
+    USED_COLS = (0, 1, 2, 3, 4, 5)
 
     @staticmethod
     def zeros(F: int, dtype=jnp.float32) -> "AbsolutePoseFactors":
@@ -496,6 +523,7 @@ class ConstantVelocityFactors(FactorBatch):
 
     BLOCKS = (BLOCK_IMU, BLOCK_IMU)
     RESIDUAL_DIM = 9
+    USED_COLS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 15, 16, 17, 18, 19, 20, 21, 22, 23)
 
     @staticmethod
     def zeros(F: int, dtype=jnp.float32) -> "ConstantVelocityFactors":
@@ -549,6 +577,7 @@ class Unicycle3DFactors(FactorBatch):
 
     BLOCKS = (BLOCK_IMU, BLOCK_MOTION, BLOCK_IMU, BLOCK_MOTION)
     RESIDUAL_DIM = 15
+    USED_COLS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 15, 16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 36, 37, 38, 39, 40, 41)
 
     @staticmethod
     def zeros(F: int, dtype=jnp.float32) -> "Unicycle3DFactors":
@@ -596,6 +625,7 @@ class ReprojectionFactors(FactorBatch):
 
     BLOCKS = (BLOCK_IMU, BLOCK_EXTRINSIC, BLOCK_LANDMARK)
     RESIDUAL_DIM = 2
+    USED_COLS = (0, 1, 2, 3, 4, 5, 15, 16, 17, 18, 19, 20, 21, 22, 23)
 
     @staticmethod
     def zeros(F: int, dtype=jnp.float32) -> "ReprojectionFactors":
@@ -648,6 +678,7 @@ class InverseDepthReprojectionFactors(FactorBatch):
 
     BLOCKS = (BLOCK_IMU, BLOCK_IMU, BLOCK_EXTRINSIC, BLOCK_LANDMARK)
     RESIDUAL_DIM = 2
+    USED_COLS = (0, 1, 2, 3, 4, 5, 15, 16, 17, 18, 19, 20, 30, 31, 32, 33, 34, 35, 36)
 
     @staticmethod
     def zeros(F: int, dtype=jnp.float32) -> "InverseDepthReprojectionFactors":
@@ -700,6 +731,7 @@ class InverseDepthUnaryReprojectionFactors(FactorBatch):
 
     BLOCKS = (BLOCK_IMU, BLOCK_EXTRINSIC, BLOCK_LANDMARK)
     RESIDUAL_DIM = 2
+    USED_COLS = (0, 1, 2, 3, 4, 5, 15, 16, 17, 18, 19, 20, 21)
 
     @staticmethod
     def zeros(F: int, dtype=jnp.float32) -> \
@@ -744,6 +776,7 @@ class GravityAlignmentFactors(FactorBatch):
 
     BLOCKS = (BLOCK_IMU,)
     RESIDUAL_DIM = 2
+    USED_COLS = (0, 1, 2)
 
     @staticmethod
     def zeros(F: int, dtype=jnp.float32) -> "GravityAlignmentFactors":

