@@ -527,8 +527,21 @@ def _solve_damped(H, g, free, lam, H_ll, g_l, W, lm_free):
     Hs = H_red * (s[:, None] * s[None, :])
     Hs = Hs + lam * jnp.eye(Dp, dtype=dtype)
     gs = g_red * s
-    Lc = jnp.linalg.cholesky(Hs)
-    y = jax.scipy.linalg.cho_solve((Lc, True), gs)
+    # Pad the reduced system to the next 128 multiple: the TPU blocked
+    # Cholesky/triangular-solve kernels tile in 128 panels, and a ragged
+    # trailing panel serializes their last block column. Padding rows are an
+    # identity block (decoupled unit equations), so the leading Dp entries of
+    # the padded solution equal the unpadded one exactly.
+    pad = (-Dp) % 128
+    if pad:
+        Hp = jnp.zeros((Dp + pad, Dp + pad), dtype)
+        Hp = Hp.at[:Dp, :Dp].set(Hs)
+        Hp = Hp.at[jnp.arange(Dp, Dp + pad), jnp.arange(Dp, Dp + pad)].set(1.0)
+        gp = jnp.zeros((Dp + pad,), dtype).at[:Dp].set(gs)
+    else:
+        Hp, gp = Hs, gs
+    Lc = jnp.linalg.cholesky(Hp)
+    y = jax.scipy.linalg.cho_solve((Lc, True), gp)[:Dp]
     delta = y * s * freef
 
     # landmark back-substitution: δ_l = Hll⁻¹ (g_l − Wᵀ δ_p)
@@ -685,7 +698,7 @@ def lm_loop(window, assemble, n_iter, options: SolverOptions):
         )
     else:
         (window, _, lam, cost, done, iters, _), _ = jax.lax.scan(
-            step, carry0, None, length=options.scan_length
+            step, carry0, None, length=options.scan_length, unroll=2
         )
     diag = SolveDiagnostics(
         initial_cost=init_cost, final_cost=cost, iterations=iters,
