@@ -46,6 +46,14 @@ def block_dof(kind: str) -> int:
     return _BLOCK_DOF[kind]
 
 
+def analytic_jacobians_enabled() -> bool:
+    """Analytic (closed-form) Jacobians for the hot visual families. On by
+    default; BEAM_SLAM_ANALYTIC_JAC=0 falls back to jacfwd everywhere (the
+    oracle path the tests compare against). Read at trace time."""
+    import os
+    return os.environ.get("BEAM_SLAM_ANALYTIC_JAC", "1") != "0"
+
+
 def _gather_block(window: WindowState, kind: str, idx: jnp.ndarray):
     if kind == BLOCK_IMU:
         s = window.imu
@@ -112,6 +120,9 @@ class FactorBatch(struct.PyTreeNode):
     # (the per-factor residual math is small-op VPU work — the solver's
     # dominant cost on TPU, see docs/PROFILE.md).
     USED_COLS = None  # type: Optional[Tuple[int, ...]]
+    # Subclasses with a closed-form Jacobian set this and implement
+    # ``residual_and_jacobian_used`` (residual + Jacobian over USED_COLS).
+    HAS_ANALYTIC = False
 
     @property
     def capacity(self) -> int:
@@ -124,6 +135,11 @@ class FactorBatch(struct.PyTreeNode):
 
     def residual(self, block_states: Sequence[Tuple[jnp.ndarray, ...]],
                  params_one: Any) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def residual_and_jacobian_used(self, block_states, params_one):
+        """Closed-form (residual [R], Jacobian [R, len(USED_COLS)]) for one
+        factor. Only called when HAS_ANALYTIC is True."""
         raise NotImplementedError
 
     # -- generic machinery -------------------------------------------------
@@ -193,20 +209,30 @@ class FactorBatch(struct.PyTreeNode):
         else:
             expand = None
 
-        def res_one(delta, gathered_one, params_one):
-            if expand is not None:
-                delta = delta @ expand
-            deltas = self._split_delta(delta)
-            retr = [
-                _retract_block(k, g, d)
-                for k, g, d in zip(blocks, gathered_one, deltas)
-            ]
-            return self.residual(retr, params_one)
-
-        zeros = jnp.zeros((F, len(used) if used is not None else Dl), dtype)
         params = self.params()
-        r = jax.vmap(res_one)(zeros, gathered, params)
-        J = jax.vmap(jax.jacfwd(res_one, argnums=0))(zeros, gathered, params)
+        if cls.HAS_ANALYTIC and analytic_jacobians_enabled():
+            # Closed-form chain-rule Jacobian over the used columns: one
+            # residual evaluation + a handful of 2x3/3x3 products instead of
+            # len(used) forward tangents pushed through the quaternion math.
+            # Equivalence vs jacfwd is asserted in
+            # tests/test_solver.py::test_analytic_jacobians_match_autodiff.
+            r, J = jax.vmap(self.residual_and_jacobian_used)(gathered, params)
+        else:
+            def res_one(delta, gathered_one, params_one):
+                if expand is not None:
+                    delta = delta @ expand
+                deltas = self._split_delta(delta)
+                retr = [
+                    _retract_block(k, g, d)
+                    for k, g, d in zip(blocks, gathered_one, deltas)
+                ]
+                return self.residual(retr, params_one)
+
+            zeros = jnp.zeros(
+                (F, len(used) if used is not None else Dl), dtype)
+            r = jax.vmap(res_one)(zeros, gathered, params)
+            J = jax.vmap(jax.jacfwd(res_one, argnums=0))(
+                zeros, gathered, params)
         if expand is not None:
             # re-expand the reduced Jacobian to the full local width; the
             # dropped columns are exact (structural) zeros
@@ -605,6 +631,27 @@ class Unicycle3DFactors(FactorBatch):
         return A @ jnp.concatenate([r_q, r_p, r_v, r_w, r_a])
 
 
+def _pinhole_project(X_c, intr, pixel, A):
+    """Clamped pinhole projection shared by the reprojection families.
+    Returns (whitened residual [2], A·∂π/∂X_c [2,3]). The z-clamp gradient
+    matches jnp.maximum's JVP convention (zero once clamped)."""
+    z_raw = X_c[2]
+    z = jnp.maximum(z_raw, 1e-3)
+    u = intr[0] * X_c[0] / z + intr[2]
+    v = intr[1] * X_c[1] / z + intr[3]
+    r = A @ (jnp.stack([u, v]) - pixel)
+    invz = 1.0 / z
+    live = (z_raw > 1e-3).astype(X_c.dtype)
+    zero = jnp.zeros_like(z)
+    J_pi = jnp.stack([
+        jnp.stack([intr[0] * invz, zero,
+                   -intr[0] * X_c[0] * invz * invz * live]),
+        jnp.stack([zero, intr[1] * invz,
+                   -intr[1] * X_c[1] * invz * invz * live]),
+    ])
+    return r, A @ J_pi
+
+
 class ReprojectionFactors(FactorBatch):
     """2-dof Euclidean-landmark pixel reprojection — the hot visual residual.
 
@@ -626,6 +673,7 @@ class ReprojectionFactors(FactorBatch):
     BLOCKS = (BLOCK_IMU, BLOCK_EXTRINSIC, BLOCK_LANDMARK)
     RESIDUAL_DIM = 2
     USED_COLS = (0, 1, 2, 3, 4, 5, 15, 16, 17, 18, 19, 20, 21, 22, 23)
+    HAS_ANALYTIC = True
 
     @staticmethod
     def zeros(F: int, dtype=jnp.float32) -> "ReprojectionFactors":
@@ -653,6 +701,29 @@ class ReprojectionFactors(FactorBatch):
         v = intr[1] * X_c[1] / z + intr[3]
         return A @ (jnp.stack([u, v]) - pixel)
 
+    def residual_and_jacobian_used(self, block_states, params_one):
+        """Closed-form Jacobian of the residual above. Right perturbation
+        q←q·Exp(δθ), additive p/landmark (matching _retract_block); the
+        analytic blocks are the textbook reprojection chain the reference
+        hand-writes in euclidean_reprojection_function.h:66-172."""
+        (q_wb, p_wb, *_), (q_bc, p_bc), (X_w,) = block_states
+        pixel, intr, A = params_one
+        R_wb = lie.quat_to_matrix(q_wb)
+        R_bc = lie.quat_to_matrix(q_bc)
+        Y = R_wb.T @ (X_w - p_wb)          # point in baselink frame
+        X_c = R_bc.T @ (Y - p_bc)
+        r, AJ = _pinhole_project(X_c, intr, pixel, A)
+        AJe = AJ @ R_bc.T                  # ∂r/∂Y
+        J_lm = AJe @ R_wb.T                # ∂r/∂X_w (landmark)
+        J = jnp.concatenate([
+            AJe @ lie.skew(Y),             # ∂r/∂δθ_wb
+            -J_lm,                         # ∂r/∂δp_wb
+            AJ @ lie.skew(X_c),            # ∂r/∂δθ_bc
+            -AJe,                          # ∂r/∂δp_bc
+            J_lm,
+        ], axis=1)
+        return r, J
+
 
 class InverseDepthReprojectionFactors(FactorBatch):
     """2-dof reprojection of an inverse-depth landmark (binary variant).
@@ -679,6 +750,7 @@ class InverseDepthReprojectionFactors(FactorBatch):
     BLOCKS = (BLOCK_IMU, BLOCK_IMU, BLOCK_EXTRINSIC, BLOCK_LANDMARK)
     RESIDUAL_DIM = 2
     USED_COLS = (0, 1, 2, 3, 4, 5, 15, 16, 17, 18, 19, 20, 30, 31, 32, 33, 34, 35, 36)
+    HAS_ANALYTIC = True
 
     @staticmethod
     def zeros(F: int, dtype=jnp.float32) -> "InverseDepthReprojectionFactors":
@@ -714,6 +786,42 @@ class InverseDepthReprojectionFactors(FactorBatch):
         v = intr[1] * X_m[1] / z + intr[3]
         return A @ (jnp.stack([u, v]) - pixel)
 
+    def residual_and_jacobian_used(self, block_states, params_one):
+        """Closed-form Jacobian: anchor pose, measurement pose, shared
+        extrinsic (appears in both camera chains) and ρ (rank-1 landmark
+        column; the ρ-clamp gradient zeroes once floored)."""
+        ((q_a, p_a, *_), (q_m, p_m, *_), (q_bc, p_bc),
+         (lm,)) = block_states
+        bearing, pixel, intr, A = params_one
+        rho_raw = lm[0]
+        rho = jnp.maximum(rho_raw, 1e-4)
+        R_a = lie.quat_to_matrix(q_a)
+        R_m = lie.quat_to_matrix(q_m)
+        R_e = lie.quat_to_matrix(q_bc)
+        X_a = jnp.concatenate([bearing, jnp.ones(1, bearing.dtype)]) / rho
+        v_a = R_e @ X_a + p_bc             # anchor-baselink-frame point
+        X_w = R_a @ v_a + p_a
+        Y_m = R_m.T @ (X_w - p_m)          # measurement-baselink frame
+        X_m = R_e.T @ (Y_m - p_bc)
+        r, AJ = _pinhole_project(X_m, intr, pixel, A)
+        B = R_e.T @ R_m.T                  # ∂X_m/∂δp_a
+        C = B @ R_a                        # anchor-baselink → meas camera
+        AJB = AJ @ B
+        AJC = AJ @ C
+        CRe = C @ R_e
+        live_rho = (rho_raw > 1e-4).astype(X_m.dtype)
+        J_rho = (AJ @ (CRe @ (-X_a / rho)))[:, None] * live_rho
+        J = jnp.concatenate([
+            -AJC @ lie.skew(v_a),          # anchor δθ
+            AJB,                           # anchor δp
+            (AJ @ R_e.T) @ lie.skew(Y_m),  # measurement δθ
+            -AJB,                          # measurement δp
+            AJ @ lie.skew(X_m) - AJC @ R_e @ lie.skew(X_a),  # extrinsic δθ
+            AJC - AJ @ R_e.T,              # extrinsic δp
+            J_rho,
+        ], axis=1)
+        return r, J
+
 
 class InverseDepthUnaryReprojectionFactors(FactorBatch):
     """Unary inverse-depth reprojection: the ANCHOR camera pose is a fixed
@@ -732,6 +840,7 @@ class InverseDepthUnaryReprojectionFactors(FactorBatch):
     BLOCKS = (BLOCK_IMU, BLOCK_EXTRINSIC, BLOCK_LANDMARK)
     RESIDUAL_DIM = 2
     USED_COLS = (0, 1, 2, 3, 4, 5, 15, 16, 17, 18, 19, 20, 21)
+    HAS_ANALYTIC = True
 
     @staticmethod
     def zeros(F: int, dtype=jnp.float32) -> \
@@ -763,6 +872,35 @@ class InverseDepthUnaryReprojectionFactors(FactorBatch):
         u = intr[0] * X_m[0] / z + intr[2]
         v = intr[1] * X_m[1] / z + intr[3]
         return A @ (jnp.stack([u, v]) - pixel)
+
+    def residual_and_jacobian_used(self, block_states, params_one):
+        """Closed-form Jacobian: the anchor camera pose is a fixed
+        parameter, so only the measurement chain differentiates (the
+        extrinsic enters once, unlike the binary variant)."""
+        (q_m, p_m, *_), (q_bc, p_bc), (lm,) = block_states
+        q_wca, p_wca, bearing, pixel, intr, A = params_one
+        rho_raw = lm[0]
+        rho = jnp.maximum(rho_raw, 1e-4)
+        R_m = lie.quat_to_matrix(q_m)
+        R_e = lie.quat_to_matrix(q_bc)
+        R_wca = lie.quat_to_matrix(q_wca)
+        X_a = jnp.concatenate([bearing, jnp.ones(1, bearing.dtype)]) / rho
+        X_w = R_wca @ X_a + p_wca
+        Y_m = R_m.T @ (X_w - p_m)
+        X_m = R_e.T @ (Y_m - p_bc)
+        r, AJ = _pinhole_project(X_m, intr, pixel, A)
+        AJe = AJ @ R_e.T
+        B = AJe @ R_m.T                    # ∂r/∂X_w
+        live_rho = (rho_raw > 1e-4).astype(X_m.dtype)
+        J_rho = (B @ (R_wca @ (-X_a / rho)))[:, None] * live_rho
+        J = jnp.concatenate([
+            AJe @ lie.skew(Y_m),           # measurement δθ
+            -B,                            # measurement δp
+            AJ @ lie.skew(X_m),            # extrinsic δθ
+            -AJe,                          # extrinsic δp
+            J_rho,
+        ], axis=1)
+        return r, J
 
 
 class GravityAlignmentFactors(FactorBatch):
