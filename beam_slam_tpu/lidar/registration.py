@@ -32,16 +32,21 @@ from beam_slam_tpu.lidar.cloud import FeatureCloud
 class LoamRegistrationConfig(NamedTuple):
     # Total GN step budget. The steps are split across ``corr_refits``
     # correspondence fits: each fit runs a k-NN search + line/plane fits,
-    # then ``ceil(iterations / corr_refits)`` fixed-correspondence GN steps
-    # (the analog of libbeam's LoamMatcher, which refits correspondences
-    # ``max_correspondence_iterations`` times with a Ceres solve between —
-    # the production VLP-16 config refits ONCE,
-    # beam_slam_launch/config/matchers/loam_vlp16.json:
-    # iterate_correspondences=false, max_correspondence_iterations=1).
-    # The k-NN + neighbor fits dominate the kernel cost, so fewer refits
-    # ≈ proportionally faster registration.
+    # then ``ceil(iterations / corr_refits)`` fixed-correspondence GN steps.
+    # corr_refits=0 (default) means refit EVERY step — the A-LOAM schedule.
+    #
+    # Measured caution (round-3 regression root cause): taking >1 GN step on
+    # *stale* correspondences overshoots past where the correspondences
+    # change and lands the alternation in a false local minimum ~13 cm off
+    # (tests/test_sensor_log.py replay-LIO went 11x over its ATE bound when
+    # the default dropped to 2 refits x 4 steps). libbeam's LoamMatcher gets
+    # away with few refits (iterate_correspondences,
+    # beam_slam_launch/config/matchers/loam_vlp16.json) because Ceres solves
+    # robustified costs on real cluttered scans; on this engine's fixed-step
+    # GN the refit-every-step schedule is the robust default, and fewer
+    # refits are an expert opt-in via this field.
     iterations: int = 8
-    corr_refits: int = 2
+    corr_refits: int = 0
     k_edge: int = 5
     # k_surf must be large enough to reach across scan rings: the k nearest
     # neighbors of a surface point are often collinear along its own ring,
@@ -196,7 +201,7 @@ def register_loam(scan: FeatureCloud, map_edges, map_edges_valid,
                                    scan.surf_weak_valid], axis=0)
     dtype = edges.dtype
 
-    refits = max(1, min(cfg.corr_refits, cfg.iterations))
+    refits = max(1, min(cfg.corr_refits or cfg.iterations, cfg.iterations))
     inner_steps = -(-cfg.iterations // refits)  # ceil
 
     def refit_body(carry, _):

@@ -440,15 +440,19 @@ def create_scan_registration(registration_config: Union[str, dict],
     params = _base_params(rcfg)
 
     if mtype == "LOAM":
-        # max_correspondence_iterations = number of correspondence refits
-        # (libbeam LoamMatcher; each refit runs a fixed-correspondence
-        # solve — here 4 GN steps per refit)
-        refits = max(int(mcfg.get("max_correspondence_iterations", 2)), 1)
+        # max_correspondence_iterations scales the GN budget (libbeam
+        # LoamMatcher's refit count), but every GN step refits its
+        # correspondences: >1 fixed-correspondence steps overshoot stale
+        # matches into false minima on this engine's fixed-step GN (see
+        # LoamRegistrationConfig.corr_refits; round-3 replay-LIO
+        # regression). The +3 floor keeps small configured counts usable
+        # as seeds-from-IMU warm paths.
+        mc_iters = max(int(mcfg.get("max_correspondence_iterations", 5)), 1)
         if not mcfg.get("iterate_correspondences", True):
-            refits = 1
+            mc_iters = 1
         reg_cfg = reg.LoamRegistrationConfig(
-            iterations=4 * refits,
-            corr_refits=refits,
+            iterations=mc_iters + 3,
+            corr_refits=0,
             max_corr_dist=float(
                 mcfg.get("max_correspondence_distance", 0.5)),
             min_inliers=int(mcfg.get("min_number_measurements", 30)))
