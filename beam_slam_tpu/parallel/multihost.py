@@ -76,8 +76,18 @@ def make_hybrid_mesh(n_hosts: Optional[int] = None,
         from jax.experimental import mesh_utils
         per = devices_per_host or jax.local_device_count()
         hosts = n_hosts or jax.process_count()
-        arr = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(1, per), dcn_mesh_shape=(hosts, 1), devices=devs)
+        try:
+            arr = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(1, per), dcn_mesh_shape=(hosts, 1), devices=devs)
+        except ValueError:
+            # No slice topology (e.g. multi-process CPU, single-slice pods):
+            # group rows by owning process — each row's devices still live
+            # on one host, which is all the hosts×shards split needs.
+            # (Found by the 2-process localhost run, tools/run_multihost_pgo
+            # .py: create_hybrid_device_mesh requires num_slices ==
+            # prod(dcn_mesh_shape) and CPU backends report one slice.)
+            by_proc = sorted(devs, key=lambda d: (d.process_index, d.id))
+            arr = np.asarray(by_proc[:hosts * per]).reshape(hosts, per)
         return Mesh(arr, (HOST_AXIS, ICI_AXIS))
     if n_hosts is None:
         n_hosts = 2 if len(devs) >= 2 else 1
