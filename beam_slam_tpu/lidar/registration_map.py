@@ -115,14 +115,17 @@ class RegistrationMap:
         scan_to_map_registration.cpp)."""
         s = self._next
         self._next = (self._next + 1) % self.map_size
-        e = np.concatenate([np.asarray(features.edge_strong),
-                            np.asarray(features.edge_weak)])
-        ev = np.concatenate([np.asarray(features.edge_strong_valid),
-                             np.asarray(features.edge_weak_valid)])
-        f = np.concatenate([np.asarray(features.surf_strong),
-                            np.asarray(features.surf_weak)])
-        fv = np.concatenate([np.asarray(features.surf_strong_valid),
-                             np.asarray(features.surf_weak_valid)])
+        # one batched pull for all 8 feature arrays (per-array np.asarray on
+        # device buffers is a round trip each on remote backends)
+        (es, ew, esv, ewv, ss, sw, ssv, swv) = jax.device_get(
+            (features.edge_strong, features.edge_weak,
+             features.edge_strong_valid, features.edge_weak_valid,
+             features.surf_strong, features.surf_weak,
+             features.surf_strong_valid, features.surf_weak_valid))
+        e = np.concatenate([es, ew])
+        ev = np.concatenate([esv, ewv])
+        f = np.concatenate([ss, sw])
+        fv = np.concatenate([ssv, swv])
         self.edges[s], self.edges_valid[s] = self._pack(e, ev, self.edge_cap)
         self.surfs[s], self.surfs_valid[s] = self._pack(f, fv, self.surf_cap)
         self.q[s] = np.asarray(q, np.float32)

@@ -72,7 +72,7 @@ def _pose_delta(q_a, p_a, q_b, p_b):
 
 def _validate(q_seed, p_seed, q_reg, p_reg, params: ScanRegistrationParams):
     dq, dp = _pose_delta(q_seed, p_seed, q_reg, p_reg)
-    trans = float(jnp.linalg.norm(dp))
+    trans = float(np.linalg.norm(np.asarray(dp)))
     rot = float(np.rad2deg(np.linalg.norm(np.asarray(lie.so3_log(dq)))))
     return (trans < params.max_correction_trans_m
             and rot < params.max_correction_rot_deg)
@@ -109,10 +109,10 @@ class ScanToMapLoamRegistration:
         self.map = RegistrationMap(map_size=map_size,
                                    world_voxel=downsample_voxel)
         # T_BASELINK_LIDAR extrinsic (identity when the lidar is the baselink)
-        self.q_bl = jnp.asarray([1.0, 0, 0, 0] if q_bl is None else q_bl,
-                                jnp.float32)
-        self.p_bl = jnp.asarray([0.0, 0, 0] if p_bl is None else p_bl,
-                                jnp.float32)
+        self.q_bl = np.asarray([1.0, 0, 0, 0] if q_bl is None else q_bl,
+                               np.float32)
+        self.p_bl = np.asarray([0.0, 0, 0] if p_bl is None else p_bl,
+                               np.float32)
         self.prev: Optional[tuple] = None  # (stamp, q, p) lidar in map frame
         self.failures = 0
 
@@ -137,8 +137,8 @@ class ScanToMapLoamRegistration:
         stamps to ``txn`` and returns True; the first scan gets a prior on
         the baselink pose instead."""
         q_seed, p_seed = self._lidar_from_baselink(
-            jnp.asarray(q_seed_bl, jnp.float32),
-            jnp.asarray(p_seed_bl, jnp.float32))
+            np.asarray(q_seed_bl, np.float32),
+            np.asarray(p_seed_bl, np.float32))
 
         if self.prev is None and self.map.empty:
             self.map.add_scan(stamp, q_seed, p_seed, features)
@@ -157,7 +157,7 @@ class ScanToMapLoamRegistration:
         if self.prev is not None:
             _, q_prev, p_prev = self.prev
             dq, dp = _pose_delta(q_prev, p_prev, q_seed, p_seed)
-            trans = float(jnp.linalg.norm(dp))
+            trans = float(np.linalg.norm(np.asarray(dp)))
             rot_deg = float(np.rad2deg(np.linalg.norm(
                 np.asarray(lie.so3_log(dq)))))
             if trans > self.params.max_motion_trans_m:
@@ -172,21 +172,27 @@ class ScanToMapLoamRegistration:
         me, mev, ms, msv = self.map.world_frame()
         result = reg.register_loam(features, me, mev, ms, msv,
                                    q_seed, p_seed, self.reg_cfg)
-        if not bool(result.converged) or not _validate(
-                q_seed, p_seed, result.q, result.p, self.params):
+        # ONE batched device->host pull for everything the host needs: each
+        # scalar bool()/np.asarray() on a device value is its own round trip
+        # (~10-40 ms through a remote-TPU tunnel; the round-3 session
+        # profile showed the per-field pulls dominating register_new_scan)
+        q_reg, p_reg, information, converged = jax.device_get(
+            (result.q, result.p, result.information, result.converged))
+        if not bool(converged) or not _validate(
+                q_seed, p_seed, q_reg, p_reg, self.params):
             self.failures += 1
             return False
         self.failures = 0
 
         prev_stamp, q_prev, p_prev = self.prev
-        dq, dp = _pose_delta(q_prev, p_prev, result.q, result.p)
+        dq, dp = _pose_delta(q_prev, p_prev, q_reg, p_reg)
         txn.add_relative_pose(
             prev_stamp, stamp, np.asarray(dq), np.asarray(dp),
-            _sqrt_info_6(self.params, result.information),
+            _sqrt_info_6(self.params, information),
             sensor=LIDAR_SENSOR)
 
-        self.map.add_scan(stamp, result.q, result.p, features)
-        self.prev = (stamp, result.q, result.p)
+        self.map.add_scan(stamp, q_reg, p_reg, features)
+        self.prev = (stamp, q_reg, p_reg)
         return True
 
 
@@ -203,10 +209,10 @@ class MultiScanLoamRegistration:
         self.reg_cfg = reg_cfg
         self.num_neighbors = num_neighbors
         self.lag_duration = lag_duration
-        self.q_bl = jnp.asarray([1.0, 0, 0, 0] if q_bl is None else q_bl,
-                                jnp.float32)
-        self.p_bl = jnp.asarray([0.0, 0, 0] if p_bl is None else p_bl,
-                                jnp.float32)
+        self.q_bl = np.asarray([1.0, 0, 0, 0] if q_bl is None else q_bl,
+                               np.float32)
+        self.p_bl = np.asarray([0.0, 0, 0] if p_bl is None else p_bl,
+                               np.float32)
         self.refs: list = []  # (stamp, q, p, features) newest-last
         self.failures = 0
 
@@ -328,10 +334,10 @@ class MultiScanMatcherRegistration:
         self.lag_duration = lag_duration
         self.max_points = max_points
         self.downsample_voxel = downsample_voxel
-        self.q_bl = jnp.asarray([1.0, 0, 0, 0] if q_bl is None else q_bl,
-                                jnp.float32)
-        self.p_bl = jnp.asarray([0.0, 0, 0] if p_bl is None else p_bl,
-                                jnp.float32)
+        self.q_bl = np.asarray([1.0, 0, 0, 0] if q_bl is None else q_bl,
+                               np.float32)
+        self.p_bl = np.asarray([0.0, 0, 0] if p_bl is None else p_bl,
+                               np.float32)
         self.refs: list = []  # (stamp, q, p, pts, valid) newest-last
         self.failures = 0
 

@@ -20,6 +20,7 @@ from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from beam_slam_tpu.core import lie
@@ -97,6 +98,58 @@ class ImuBuffer:
         return dts, w, a
 
 
+class _NpStateDelta:
+    """Incremental numpy midpoint preintegration of the STATE-ONLY delta
+    (the q/p/v update of PreIntegrator::Increment, preintegrator.cpp:82-88
+    — no covariance, no bias Jacobians).
+
+    The odometry/pose-seed path (GetPose at every decimated IMU sample,
+    frame-initializer seeds per scan) only needs the state prediction;
+    re-preintegrating the whole keyframe window on the device per query was
+    a dispatch round trip each (~14 ms/sample in the round-3 TPU session
+    profile). This integrator advances one sample at a time on the host
+    (µs) and caches the prefix, so a later query only integrates the new
+    samples plus one partial step to the query time. Factor creation keeps
+    the jitted device path (full 15-dof covariance + bias Jacobians).
+    """
+
+    def __init__(self, bg, ba):
+        self.reset(bg, ba)
+
+    def reset(self, bg, ba):
+        self.bg = np.asarray(bg, np.float32)
+        self.ba = np.asarray(ba, np.float32)
+        self.q = np.array([1, 0, 0, 0], np.float32)
+        self.p = np.zeros(3, np.float32)
+        self.v = np.zeros(3, np.float32)
+        self.t = 0.0
+        self.t_last: Optional[float] = None  # newest fully integrated stamp
+
+    def step(self, dt: float, w_meas, a_meas):
+        w = np.asarray(w_meas, np.float32) - self.bg
+        a = np.asarray(a_meas, np.float32) - self.ba
+        q_full = lie.so3_exp_quat(w * np.float32(dt))
+        q_half = lie.so3_exp_quat(np.float32(0.5 * dt) * w)
+        a_mid = lie.quat_rotate(lie.quat_mul(self.q, q_half), a)
+        self.p = self.p + np.float32(dt) * self.v \
+            + np.float32(0.5 * dt * dt) * a_mid
+        self.v = self.v + np.float32(dt) * a_mid
+        self.q = np.asarray(
+            lie.quat_normalize(lie.quat_mul(self.q, q_full)), np.float32)
+        self.t += dt
+
+    def state_after_partial(self, dt: float, w_meas, a_meas):
+        """State after one more step of length dt, without committing."""
+        q, p, v, t = self.q, self.p, self.v, self.t
+        self.step(dt, w_meas, a_meas)
+        out = (self.q, self.p, self.v, np.float32(self.t))
+        self.q, self.p, self.v, self.t = q, p, v, t
+        return out
+
+
+_GRAVITY_NP = np.asarray([0.0, 0.0, -9.80665], np.float32)
+
+
 class ImuPreintegrationModel:
     """Keyframe-anchored preintegration state machine
     (bs_models::ImuPreintegration)."""
@@ -116,6 +169,7 @@ class ImuPreintegrationModel:
         # constraint ↔ raw-data map (the reference ImuBuffer,
         # inertial_odometry.h:33-69) — needed for BreakupConstraint
         self.factor_data: dict = {}  # (t_i, t_j) -> (dts, w, a)
+        self._np_delta: Optional[_NpStateDelta] = None
 
     # -- lifecycle ---------------------------------------------------------
     def start(self, t: float, q, p, v, bg=None, ba=None):
@@ -145,23 +199,92 @@ class ImuPreintegrationModel:
             jnp.asarray(self.bg), jnp.asarray(self.ba), self.noise,
             compute_information=False)
 
+    def _np_delta_to(self, t1: float):
+        """State-only delta over [t_kf, t1) via the incremental host
+        integrator (same windowing as ImuBuffer.window: per-sample dts, the
+        last sample integrating exactly to t1). Returns (q, p, v, dt) of the
+        delta or None when no sample is in range.
+
+        Forward queries advance the cached prefix O(new samples); slightly
+        backwards queries (a scan stamp behind the IMU odometry clock) hit
+        the snapshot history; anything older recomputes from scratch on the
+        host (a few ms for a full lag window — still no device round trip).
+        """
+        import bisect
+
+        key = (self.t_kf, self.bg.tobytes(), self.ba.tobytes())
+        d = self._np_delta
+        if d is None or getattr(d, "key", None) != key:
+            d = _NpStateDelta(self.bg, self.ba)
+            d.key = key
+            d.hist = []  # [(stamp of committed sample, (q,p,v,t)), ...]
+            self._np_delta = d
+        tb = self.buffer.t
+        start = bisect.bisect_left(tb, self.t_kf)
+        m = bisect.bisect_left(tb, t1)  # samples strictly before t1
+        if m <= start:
+            return None
+        last = m - 1                    # index of the partial sample
+
+        def partial_from(q, p, v, t):
+            saved = (d.q, d.p, d.v, d.t)
+            d.q, d.p, d.v, d.t = np.array(q), np.array(p), np.array(v), t
+            out = d.state_after_partial(t1 - tb[last],
+                                        self.buffer.w[last],
+                                        self.buffer.a[last])
+            d.q, d.p, d.v, d.t = saved
+            return out
+
+        committed = -np.inf if d.t_last is None else d.t_last
+        if last >= 1 and tb[last - 1] < committed:
+            # backwards query: prefix must end exactly at sample last-1
+            stamps = [h[0] for h in d.hist]
+            k = bisect.bisect_right(stamps, tb[last - 1]) - 1
+            if k >= 0 and abs(stamps[k] - tb[last - 1]) < 1e-12:
+                return partial_from(*d.hist[k][1])
+            # fell off the snapshot window: scratch recompute on the host
+            s = _NpStateDelta(self.bg, self.ba)
+            for j in range(start, last):
+                s.step(tb[j + 1] - tb[j], self.buffer.w[j], self.buffer.a[j])
+            return s.state_after_partial(t1 - tb[last],
+                                         self.buffer.w[last],
+                                         self.buffer.a[last])
+        # commit full steps up to sample last-1 (no-op when already there)
+        i0 = (start if d.t_last is None
+              else bisect.bisect_right(tb, d.t_last))
+        for j in range(i0, last):
+            d.step(tb[j + 1] - tb[j], self.buffer.w[j], self.buffer.a[j])
+            d.t_last = tb[j]
+            d.hist.append((tb[j], (d.q.copy(), d.p.copy(), d.v.copy(), d.t)))
+            if len(d.hist) > 512:
+                del d.hist[:256]
+        return d.state_after_partial(t1 - tb[last],
+                                     self.buffer.w[last],
+                                     self.buffer.a[last])
+
     def get_pose(self, t: float):
-        """Predicted world-frame state at t (GetPose / PredictState)."""
-        d = self._integrate_to(t)
+        """Predicted world-frame state at t (GetPose / PredictState) — pure
+        host math (incremental numpy preintegration + the predict_state
+        equations, imu_preintegration.cpp:220-244)."""
+        d = self._np_delta_to(t)
         if d is None:
             return np.asarray(self.q), np.asarray(self.p), np.asarray(self.v)
-        q, p, v = pre.predict_state(d, jnp.asarray(self.q),
-                                    jnp.asarray(self.p), jnp.asarray(self.v))
-        return np.asarray(q), np.asarray(p), np.asarray(v)
+        dq, dp, dv, dt = d
+        q_j = np.asarray(lie.quat_normalize(lie.quat_mul(self.q, dq)),
+                         np.float32)
+        p_j = self.p + dt * self.v + np.float32(0.5) * dt * dt * _GRAVITY_NP \
+            + np.asarray(lie.quat_rotate(self.q, dp), np.float32)
+        v_j = self.v + dt * _GRAVITY_NP \
+            + np.asarray(lie.quat_rotate(self.q, dv), np.float32)
+        return q_j, p_j, v_j
 
     def get_relative_motion(self, t1: float, t2: float):
         """Relative pose between two prediction times (GetRelativeMotion,
         imu_preintegration.cpp:127-194) — drives the odometry topic."""
         q1, p1, _ = self.get_pose(t1)
         q2, p2, _ = self.get_pose(t2)
-        dq = lie.quat_mul(lie.quat_conj(jnp.asarray(q1)), jnp.asarray(q2))
-        dp = lie.quat_rotate(lie.quat_conj(jnp.asarray(q1)),
-                             jnp.asarray(p2 - p1))
+        dq = lie.quat_mul(lie.quat_conj(q1), q2)
+        dp = lie.quat_rotate(lie.quat_conj(q1), p2 - p1)
         return np.asarray(dq), np.asarray(dp)
 
     # -- factor creation ---------------------------------------------------
@@ -180,6 +303,14 @@ class ImuPreintegrationModel:
             jnp.asarray(dts), jnp.asarray(w), jnp.asarray(a),
             jnp.asarray(self.bg), jnp.asarray(self.ba), self.noise,
             compute_information=True)
+        q_pred, p_pred, v_pred = pre.predict_state(
+            d, jnp.asarray(self.q), jnp.asarray(self.p),
+            jnp.asarray(self.v))
+        # ONE batched pull of the whole Delta + prediction: per-field
+        # np.asarray in the transaction builder was ~10 round trips per
+        # keyframe on remote backends
+        d, q_pred, p_pred, v_pred = jax.device_get(
+            (d, q_pred, p_pred, v_pred))
 
         if not self.first_factor_sent:
             txn.add_imu_state(self.t_kf, self.q, self.p, self.v, self.bg,
@@ -190,8 +321,7 @@ class ImuPreintegrationModel:
                               self.ba, prior_sqrt_info)
             self.first_factor_sent = True
 
-        q_j, p_j, v_j = pre.predict_state(
-            d, jnp.asarray(self.q), jnp.asarray(self.p), jnp.asarray(self.v))
+        q_j, p_j, v_j = q_pred, p_pred, v_pred
         txn.add_imu_state(t_new, np.asarray(q_j), np.asarray(p_j),
                           np.asarray(v_j), self.bg, self.ba)
         txn.add_imu_relative(self.t_kf, t_new, d, self.bg, self.ba,

@@ -146,10 +146,9 @@ class LidarOdometry:
                     q_bl = getattr(self.registration, "q_bl", None)
                     if q_bl is not None:
                         from beam_slam_tpu.core import lie
-                        q_wl = np.asarray(lie.quat_mul(
-                            jnp.asarray(st["q"]), q_bl))
+                        q_wl = np.asarray(lie.quat_mul(st["q"], q_bl))
                         p_wl = st["p"] + np.asarray(lie.quat_rotate(
-                            jnp.asarray(st["q"]), self.registration.p_bl))
+                            st["q"], self.registration.p_bl))
                         reg_map.update_pose(stamp, q_wl, p_wl)
             else:
                 # marginalized out → SlamChunk for the global mapper

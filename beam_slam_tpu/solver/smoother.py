@@ -1158,111 +1158,125 @@ class FixedLagSmoother:
                                                MotionStates, Poses)
         window = WindowState(
             imu=ImuStates(
-                q=jnp.asarray(self.q), p=jnp.asarray(self.p),
-                v=jnp.asarray(self.v), bg=jnp.asarray(self.bg),
-                ba=jnp.asarray(self.ba),
-                active=jnp.asarray(self.state_active),
-                held=jnp.asarray(self.state_held)),
+                q=self.q, p=self.p,
+                v=self.v, bg=self.bg,
+                ba=self.ba,
+                active=self.state_active,
+                held=self.state_held),
             extrinsics=Poses(
-                q=jnp.asarray(self.ext_q), p=jnp.asarray(self.ext_p),
-                active=jnp.asarray(self.ext_active),
-                held=jnp.asarray(self.ext_held)),
+                q=self.ext_q, p=self.ext_p,
+                active=self.ext_active,
+                held=self.ext_held),
             landmarks=Landmarks(
-                pt=jnp.asarray(self.lm_pt),
-                active=jnp.asarray(self.lm_active),
-                held=jnp.asarray(self.lm_held)),
+                pt=self.lm_pt,
+                active=self.lm_active,
+                held=self.lm_held),
             motion=MotionStates(
-                w=jnp.asarray(self.mot_w), a=jnp.asarray(self.mot_a),
-                active=jnp.asarray(self.mot_active),
-                held=jnp.zeros(self.mot_w.shape[0], bool)),
+                w=self.mot_w, a=self.mot_a,
+                active=self.mot_active,
+                held=np.zeros(self.mot_w.shape[0], bool)),
         )
         a = self.arena_imu
         rel = fc.ImuRelativeFactors(
-            slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
-            dt=jnp.asarray(a.fields["dt"]), dq=jnp.asarray(a.fields["dq"]),
-            dp=jnp.asarray(a.fields["dp"]), dv=jnp.asarray(a.fields["dv"]),
-            bg_lin=jnp.asarray(a.fields["bg_lin"]),
-            ba_lin=jnp.asarray(a.fields["ba_lin"]),
-            dq_dbg=jnp.asarray(a.fields["dq_dbg"]),
-            dp_dbg=jnp.asarray(a.fields["dp_dbg"]),
-            dp_dba=jnp.asarray(a.fields["dp_dba"]),
-            dv_dbg=jnp.asarray(a.fields["dv_dbg"]),
-            dv_dba=jnp.asarray(a.fields["dv_dba"]),
-            sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
+            slots=a.slots, active=a.active,
+            dt=a.fields["dt"], dq=a.fields["dq"],
+            dp=a.fields["dp"], dv=a.fields["dv"],
+            bg_lin=a.fields["bg_lin"],
+            ba_lin=a.fields["ba_lin"],
+            dq_dbg=a.fields["dq_dbg"],
+            dp_dbg=a.fields["dp_dbg"],
+            dp_dba=a.fields["dp_dba"],
+            dv_dbg=a.fields["dv_dbg"],
+            dv_dba=a.fields["dv_dba"],
+            sqrt_info=a.fields["sqrt_info"])
         a = self.arena_prior
         prior = fc.ImuPriorFactors(
-            slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
-            q0=jnp.asarray(a.fields["q0"]), p0=jnp.asarray(a.fields["p0"]),
-            v0=jnp.asarray(a.fields["v0"]), bg0=jnp.asarray(a.fields["bg0"]),
-            ba0=jnp.asarray(a.fields["ba0"]),
-            sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
+            slots=a.slots, active=a.active,
+            q0=a.fields["q0"], p0=a.fields["p0"],
+            v0=a.fields["v0"], bg0=a.fields["bg0"],
+            ba0=a.fields["ba0"],
+            sqrt_info=a.fields["sqrt_info"])
         a = self.arena_rel
         rel_pose = fc.RelativePoseFactors(
-            slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
-            dq=jnp.asarray(a.fields["dq"]), dp=jnp.asarray(a.fields["dp"]),
-            sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
+            slots=a.slots, active=a.active,
+            dq=a.fields["dq"], dp=a.fields["dp"],
+            sqrt_info=a.fields["sqrt_info"])
         a = self.arena_abs
         abs_pose = fc.AbsolutePoseFactors(
-            slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
-            q0=jnp.asarray(a.fields["q0"]), p0=jnp.asarray(a.fields["p0"]),
-            sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
+            slots=a.slots, active=a.active,
+            q0=a.fields["q0"], p0=a.fields["p0"],
+            sqrt_info=a.fields["sqrt_info"])
         a = self.arena_grav
         grav = fc.GravityAlignmentFactors(
-            slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
-            g_body=jnp.asarray(a.fields["g_body"]),
-            sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
+            slots=a.slots, active=a.active,
+            g_body=a.fields["g_body"],
+            sqrt_info=a.fields["sqrt_info"])
         a = self.arena_reproj
         reproj = fc.ReprojectionFactors(
-            slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
-            pixel=jnp.asarray(a.fields["pixel"]),
-            intr=jnp.asarray(a.fields["intr"]),
-            sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
+            slots=a.slots, active=a.active,
+            pixel=a.fields["pixel"],
+            intr=a.fields["intr"],
+            sqrt_info=a.fields["sqrt_info"])
         a = self.arena_motion
         motion = fc.ConstantVelocityFactors(
-            slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
-            dt=jnp.asarray(a.fields["dt"]),
-            sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
+            slots=a.slots, active=a.active,
+            dt=a.fields["dt"],
+            sqrt_info=a.fields["sqrt_info"])
         a = self.arena_idp
         idp = fc.InverseDepthReprojectionFactors(
-            slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
-            bearing=jnp.asarray(a.fields["bearing"]),
-            pixel=jnp.asarray(a.fields["pixel"]),
-            intr=jnp.asarray(a.fields["intr"]),
-            sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
+            slots=a.slots, active=a.active,
+            bearing=a.fields["bearing"],
+            pixel=a.fields["pixel"],
+            intr=a.fields["intr"],
+            sqrt_info=a.fields["sqrt_info"])
         a = self.arena_uni
         uni = fc.Unicycle3DFactors(
-            slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
-            dt=jnp.asarray(a.fields["dt"]),
-            sqrt_info=jnp.asarray(a.fields["sqrt_info"]))
+            slots=a.slots, active=a.active,
+            dt=a.fields["dt"],
+            sqrt_info=a.fields["sqrt_info"])
         a = self.arena_marg
         marg = fc.MarginalPriorFactors(
-            slots=jnp.asarray(a.slots), active=jnp.asarray(a.active),
-            q_lin=jnp.asarray(a.fields["q_lin"]),
-            p_lin=jnp.asarray(a.fields["p_lin"]),
-            v_lin=jnp.asarray(a.fields["v_lin"]),
-            bg_lin=jnp.asarray(a.fields["bg_lin"]),
-            ba_lin=jnp.asarray(a.fields["ba_lin"]),
-            A=jnp.asarray(a.fields["A"]), b=jnp.asarray(a.fields["b"]))
+            slots=a.slots, active=a.active,
+            q_lin=a.fields["q_lin"],
+            p_lin=a.fields["p_lin"],
+            v_lin=a.fields["v_lin"],
+            bg_lin=a.fields["bg_lin"],
+            ba_lin=a.fields["ba_lin"],
+            A=a.fields["A"], b=a.fields["b"])
         families = (rel, prior, rel_pose, abs_pose, grav, reproj, idp,
                     motion, uni, marg)
+        # ONE batched host->device transfer for the whole problem: the
+        # previous per-leaf jnp.asarray calls were ~40 individual transfers
+        # per tick (~2 ms each through a remote-TPU tunnel)
+        window, families = jax.device_put((window, families))
         losses = (None, None, self.cfg.cauchy_loss_rel_pose, None, None,
                   self.cfg.cauchy_loss_reprojection,
                   self.cfg.cauchy_loss_reprojection, None, None, None)
         return window, families, losses
 
     def _pull_back(self, window: WindowState):
-        # np.asarray on a device buffer is a read-only view; copy so the host
-        # mirrors stay mutable.
-        self.q = np.array(window.imu.q)
-        self.p = np.array(window.imu.p)
-        self.v = np.array(window.imu.v)
-        self.bg = np.array(window.imu.bg)
-        self.ba = np.array(window.imu.ba)
-        self.ext_q = np.array(window.extrinsics.q)
-        self.ext_p = np.array(window.extrinsics.p)
-        self.lm_pt = np.array(window.landmarks.pt)
-        self.mot_w = np.array(window.motion.w)
-        self.mot_a = np.array(window.motion.a)
+        # ONE batched device_get for the whole window: per-array np.array()
+        # pulls are a device->host round trip EACH (~10-40 ms through a
+        # remote-TPU tunnel; the round-3 session profile measured 255 ms per
+        # tick in this function). device_get of the tuple fetches every
+        # buffer in a single transfer burst. Copy: the fetched arrays are
+        # read-only views; host mirrors stay mutable.
+        (q, p, v, bg, ba, ext_q, ext_p, lm_pt, mot_w, mot_a) = \
+            jax.device_get((window.imu.q, window.imu.p, window.imu.v,
+                            window.imu.bg, window.imu.ba,
+                            window.extrinsics.q, window.extrinsics.p,
+                            window.landmarks.pt,
+                            window.motion.w, window.motion.a))
+        self.q = np.array(q)
+        self.p = np.array(p)
+        self.v = np.array(v)
+        self.bg = np.array(bg)
+        self.ba = np.array(ba)
+        self.ext_q = np.array(ext_q)
+        self.ext_p = np.array(ext_p)
+        self.lm_pt = np.array(lm_pt)
+        self.mot_w = np.array(mot_w)
+        self.mot_a = np.array(mot_a)
 
     # -- the optimizer tick (optimizationLoop body,
     #    fixed_lag_smoother.cpp:166-311) ------------------------------------
