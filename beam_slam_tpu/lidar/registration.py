@@ -62,6 +62,22 @@ class LoamRegistrationConfig(NamedTuple):
     # per-iteration trust region (rad / m)
     max_rot_step: float = 0.1
     max_trans_step: float = 0.5
+    # correspondence search mode: "knn" (gather top-k + neighbor fits) or
+    # "radius" (fixed-radius neighborhood MOMENTS via masked matmuls —
+    # ~4x faster on the MXU, see _radius_moments). Measured on the synthetic
+    # VLP-16 scene (round 3): radius converges (0.6 cm from cm-level seeds
+    # with the gates below) but kNN is ~6x more accurate and has a wider
+    # convergence basin — fixed-radius balls cannot adapt to ring-spacing
+    # anisotropy, so ~10% of fits mix structures. kNN stays the default;
+    # radius is the right mode for DENSE maps (e.g. aggregated submaps)
+    # where its locality matches the data and its matmul form wins.
+    corr_mode: str = "knn"
+    edge_radius: float = 0.35
+    surf_radius: float = 0.3
+    radius_min_neighbors: int = 5
+    # rms point-plane gate for radius mode (λ₃/n); the kNN mode gates each
+    # neighbor at plane_fit_tol instead
+    plane_rms_tol: float = 0.03
 
 
 class RegistrationResult(NamedTuple):
@@ -174,6 +190,111 @@ def _plane_residuals(pts_map, pts_valid, map_surfs, map_valid,
     return n_hat, offset, w
 
 
+def _radius_moments(query, ref, ref_valid, rad: float, chunk: int = 512):
+    """Zeroth/first/second moments of each query's fixed-radius neighborhood,
+    as blocked masked MATMULS — the TPU-native correspondence search.
+
+    Instead of gather-based k-NN (sort + irregular HBM gathers), accumulate
+      n  = Σ_r [d²(q,r) < rad²]            (count)
+      m1 = Σ_r w·r                          (sum)
+      m2 = Σ_r w·(r rᵀ)                     (scatter, 9 cols)
+    via W @ [1, r, rr9] where the [chunk, R] mask block lives only in
+    registers/VMEM — three MXU matmuls per block, no top-k, no gather.
+    Line/plane fits need exactly these moments (centroid + scatter), so the
+    k-NN neighbor SET is never materialized. ~4× faster than the
+    approx_max_k + gather + fit pipeline at registration shapes (0.22 ms vs
+    0.86 ms for the surf stage on one v5e chip).
+    """
+    R3 = jnp.where(ref_valid[:, None], ref, jnp.asarray(1e5, ref.dtype))
+    r_sq = jnp.sum(R3 * R3, axis=1)
+    outer9 = (R3[:, :, None] * R3[:, None, :]).reshape(-1, 9)
+    aug = jnp.concatenate(
+        [jnp.ones((R3.shape[0], 1), R3.dtype), R3, outer9], axis=1)
+    Q = query.shape[0]
+    Qp = -(-Q // chunk) * chunk
+    qpad = jnp.zeros((Qp, 3), query.dtype).at[:Q].set(query)
+
+    def body(qc):
+        d2 = (jnp.sum(qc * qc, axis=1, keepdims=True) + r_sq[None, :]
+              - 2.0 * qc @ R3.T)
+        W = (d2 < rad * rad).astype(qc.dtype)
+        return W @ aug
+
+    mom = jax.lax.map(body, qpad.reshape(-1, chunk, 3)).reshape(Qp, 13)[:Q]
+    n = mom[:, 0]
+    safe_n = jnp.maximum(n, 1.0)
+    c = mom[:, 1:4] / safe_n[:, None]
+    S = (mom[:, 4:13].reshape(-1, 3, 3)
+         - safe_n[:, None, None] * (c[:, :, None] * c[:, None, :]))
+    return n, c, S
+
+
+def _principal_dirs(S, c):
+    """Top-2 principal directions + eigenvalues of per-point 3×3 scatters
+    (shifted power iteration + deflation — shared by the kNN and radius
+    correspondence fits)."""
+    d1 = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], S.dtype),
+                          c.shape) + 0.01 * c
+    for _ in range(4):
+        d1 = jnp.einsum("nij,nj->ni", S, d1)
+        d1 = d1 / jnp.maximum(jnp.linalg.norm(d1, axis=1, keepdims=True),
+                              1e-9)
+    lam1 = jnp.einsum("ni,nij,nj->n", d1, S, d1)
+    S2 = S - lam1[:, None, None] * (d1[:, :, None] * d1[:, None, :])
+    d2v = jnp.cross(d1, jnp.asarray([0.577, 0.577, 0.578], S.dtype))
+    for _ in range(4):
+        d2v = jnp.einsum("nij,nj->ni", S2, d2v)
+        d2v = d2v / jnp.maximum(jnp.linalg.norm(d2v, axis=1, keepdims=True),
+                                1e-9)
+    lam2 = jnp.einsum("ni,nij,nj->n", d2v, S2, d2v)
+    return d1, lam1, d2v, lam2
+
+
+def _edge_residuals_radius(pts_map, pts_valid, map_edges, map_valid,
+                           cfg: LoamRegistrationConfig):
+    """Line fit from fixed-radius neighborhood moments (matmul path)."""
+    n, c, S = _radius_moments(pts_map, map_edges, map_valid,
+                              cfg.edge_radius)
+    d1, lam1, _, lam2 = _principal_dirs(S, c)
+    lam_rest = 0.5 * jnp.maximum(
+        jnp.trace(S, axis1=1, axis2=2) - lam1, 0.0)
+    line_ok = lam1 > cfg.edge_eig_ratio_min * jnp.maximum(lam_rest, 1e-9)
+    finite = (jnp.all(jnp.isfinite(c), axis=1)
+              & jnp.all(jnp.isfinite(d1), axis=1))
+    c = jnp.where(finite[:, None], c, 0.0)
+    d1 = jnp.where(finite[:, None], d1,
+                   jnp.asarray([1.0, 0.0, 0.0], d1.dtype))
+    w = pts_valid & line_ok & finite & (n >= cfg.radius_min_neighbors)
+    return c, d1, w
+
+
+def _plane_residuals_radius(pts_map, pts_valid, map_surfs, map_valid,
+                            cfg: LoamRegistrationConfig):
+    """Plane fit from fixed-radius neighborhood moments (matmul path).
+
+    Fit quality uses the smallest scatter eigenvalue: rms point-plane
+    distance² = λ₃/n (the neighbor list is never materialized)."""
+    n, c, S = _radius_moments(pts_map, map_surfs, map_valid,
+                              cfg.surf_radius)
+    d1, lam1, d2v, lam2 = _principal_dirs(S, c)
+    planar = lam2 > cfg.plane_planarity_min * jnp.maximum(lam1, 1e-9)
+    n_raw = jnp.cross(d1, d2v)
+    n_norm = jnp.maximum(jnp.linalg.norm(n_raw, axis=1, keepdims=True), 1e-9)
+    n_hat = n_raw / n_norm
+    offset = -jnp.einsum("ni,ni->n", n_hat, c)
+    lam3 = jnp.maximum(jnp.trace(S, axis1=1, axis2=2) - lam1 - lam2, 0.0)
+    rms2 = lam3 / jnp.maximum(n, 1.0)
+    flat_ok = rms2 < cfg.plane_rms_tol ** 2
+    finite = (jnp.all(jnp.isfinite(n_hat), axis=1) & jnp.isfinite(offset)
+              & planar)
+    n_hat = jnp.where(finite[:, None], n_hat,
+                      jnp.asarray([0.0, 0.0, 1.0], n_hat.dtype))
+    offset = jnp.where(finite, offset, 0.0)
+    w = (pts_valid & flat_ok & finite & planar
+         & (n >= cfg.radius_min_neighbors))
+    return n_hat, offset, w
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def register_loam(scan: FeatureCloud, map_edges, map_edges_valid,
                   map_surfs, map_surfs_valid, q0, p0,
@@ -210,10 +331,16 @@ def register_loam(scan: FeatureCloud, map_edges, map_edges_valid,
         # two k-NN searches + neighbor line/plane fits)
         e_map = lie.quat_rotate(q[None, :], edges) + p[None, :]
         s_map = lie.quat_rotate(q[None, :], surfs) + p[None, :]
-        cen, dirs, w_e = _edge_residuals(e_map, edges_valid, map_edges,
-                                         map_edges_valid, cfg)
-        n_hat, off, w_s = _plane_residuals(s_map, surfs_valid, map_surfs,
-                                           map_surfs_valid, cfg)
+        if cfg.corr_mode == "radius":
+            cen, dirs, w_e = _edge_residuals_radius(
+                e_map, edges_valid, map_edges, map_edges_valid, cfg)
+            n_hat, off, w_s = _plane_residuals_radius(
+                s_map, surfs_valid, map_surfs, map_surfs_valid, cfg)
+        else:
+            cen, dirs, w_e = _edge_residuals(e_map, edges_valid, map_edges,
+                                             map_edges_valid, cfg)
+            n_hat, off, w_s = _plane_residuals(s_map, surfs_valid, map_surfs,
+                                               map_surfs_valid, cfg)
         n_in = jnp.sum(w_e) + jnp.sum(w_s)
 
         def gn_body(carry2, _):

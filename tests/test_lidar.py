@@ -159,3 +159,38 @@ def test_scan_to_map_strategy_emits_chained_factors():
                                        dq_gt))
         assert float(jnp.linalg.norm(dth)) < 0.02
     assert len(strat.map) == 3
+
+
+def test_radius_moment_registration_converges():
+    """Experimental matmul-based fixed-radius correspondence mode
+    (LoamRegistrationConfig.corr_mode="radius"): registers the synthetic
+    scene to sub-cm from a cm-level seed. kNN stays the default (see the
+    config docstring for the measured comparison)."""
+    import jax.numpy as jnp
+    from beam_slam_tpu.core import lie
+    from beam_slam_tpu.lidar import features as feat
+    from beam_slam_tpu.lidar import registration as reg
+    from beam_slam_tpu.lidar.cloud import synthetic_structured_scene
+    from beam_slam_tpu.lidar.registration_map import RegistrationMap
+
+    world = synthetic_structured_scene(n_rings=16, width=504)
+    fc = feat.extract_features(world)
+    rmap = RegistrationMap(map_size=5)
+    rmap.add_scan(0.0, jnp.asarray([1.0, 0, 0, 0]),
+                  jnp.zeros(3, jnp.float32), fc)
+    me, mev, ms, msv = rmap.world_frame()
+    q_true = lie.so3_exp_quat(jnp.asarray([0.02, -0.03, 0.04]))
+    p_true = jnp.asarray([0.1, -0.05, 0.08])
+    xyz = lie.quat_rotate(lie.quat_conj(q_true)[None, None],
+                          world.xyz - p_true)
+    fc_s = feat.extract_features(world._replace(
+        xyz=jnp.where(world.valid[..., None], xyz, 0.0)))
+    cfg = reg.LoamRegistrationConfig(iterations=8, corr_mode="radius")
+    q0 = lie.quat_mul(q_true, lie.so3_exp_quat(jnp.asarray([0.008, -0.006,
+                                                            0.004])))
+    p0 = p_true + jnp.asarray([0.04, -0.03, 0.02])
+    res = reg.register_loam(fc_s, me, mev, ms, msv, q0, p0, cfg)
+    assert bool(res.converged)
+    import numpy as np
+    assert float(np.linalg.norm(np.asarray(res.p) - np.asarray(p_true))) \
+        < 0.02
