@@ -197,6 +197,10 @@ class LocalMapperConfig:
     robust_loss_scale: float = 1.0
     # GravityAlignment plugin (roll/pitch anchoring factors per keyframe)
     use_gravity_alignment: bool = True
+    # double-buffered optimizer tick (solve dispatched async, harvested next
+    # tick) — the reference's optimizer-thread overlap; essential on remote
+    # device backends where blocking on the solve costs a full round trip
+    async_solve: bool = False
     init: InitParams = dataclasses.field(default_factory=InitParams)
     calibration: CalibrationConfig = dataclasses.field(
         default_factory=CalibrationConfig)
@@ -211,6 +215,7 @@ class LocalMapperConfig:
             lag_duration=self.lag_duration,
             optimization_period=self.optimization_period,
             pseudo_marginalization=self.pseudo_marginalization,
+            async_solve=self.async_solve,
             max_states=self.max_states,
             max_landmarks=self.max_landmarks if use_cam else 1,
             max_reprojection_factors=(self.max_reprojection_factors

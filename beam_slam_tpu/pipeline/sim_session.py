@@ -49,6 +49,98 @@ class SessionResult:
     counters: Dict[str, int]
 
 
+def generate_session_events(mode: str = "LVIO", duration_s: float = 20.0,
+                            imu_hz: float = 200.0, cam_hz: float = 20.0,
+                            lidar_hz: float = 10.0, seed: int = 11,
+                            scene=None):
+    """Pre-generate the full sensor stream for a session (same trajectory,
+    scene, landmark corridor and noise draws as ``run_synthetic_session``)
+    so a *driver* can feed a mapper and time ONLY the pipeline — the basis
+    of the on-chip session benchmark (tools/run_tpu_session.py), where
+    simulator cost must not pollute the frames/s measurement.
+
+    Returns (traj, events, n_frames) with events a time-sorted list of
+    ("imu", t, w, a) / ("scan", t, grid) / ("cam", CameraMeasurement) /
+    ("pose", t, q, p) / ("tick", t) tuples mirroring the online loop's
+    feed order.
+    """
+    rng = np.random.default_rng(seed)
+    v_drift = (0.35, 0.05, 0.0)
+    traj = sim.AnalyticTrajectory(amp_p=(0.6, 0.5, 0.2), v_drift=v_drift,
+                                  amp_r=(0.1, 0.1, 0.15))
+    scene = scene if scene is not None else synthetic_structured_scene(
+        n_rings=16, width=504)
+    use_cam = mode in ("VIO", "LVIO")
+    use_lidar = mode in ("LIO", "LVIO")
+    corridor = 7.0 + v_drift[0] * duration_s
+    n_lm = max(120, int(round(120 * corridor / 7.0)))
+    lx = rng.uniform(4.0, 4.0 + corridor, n_lm)
+    ly = (v_drift[1] / max(v_drift[0], 1e-9)) * lx \
+        + rng.uniform(-4.5, 4.5, n_lm)
+    lms = np.stack([lx, ly, rng.uniform(-2.2, 2.2, n_lm)],
+                   axis=1).astype(np.float32)
+
+    def scan_from_pose(q_wb, p_wb):
+        q_wl = lie.quat_mul(jnp.asarray(q_wb), jnp.asarray(Q_BL))
+        p_wl = jnp.asarray(p_wb) + lie.quat_rotate(jnp.asarray(q_wb),
+                                                   jnp.asarray(P_BL))
+        xyz = lie.quat_rotate(lie.quat_conj(q_wl)[None, None],
+                              scene.xyz - p_wl)
+        return scene._replace(
+            xyz=jnp.where(scene.valid[..., None], xyz, 0.0))
+
+    def camera_obs(q_wb, p_wb):
+        q_wc = lie.quat_mul(jnp.asarray(q_wb), jnp.asarray(Q_BC))
+        p_wc = jnp.asarray(p_wb) + lie.quat_rotate(jnp.asarray(q_wb),
+                                                   jnp.asarray(P_BC))
+        X_c = np.asarray(lie.quat_rotate(lie.quat_conj(q_wc)[None],
+                                         jnp.asarray(lms) - p_wc))
+        uv, valid = CAM.project(X_c)
+        uv = np.asarray(uv)
+        valid = np.asarray(valid) & (X_c[:, 2] < 12.0)
+        ids = np.nonzero(valid)[0].astype(np.int64)
+        if ids.size > 150:
+            ids = ids[np.argsort(X_c[ids, 2])[:150]]
+            ids = np.sort(ids)
+        pix = uv[ids] + rng.standard_normal(
+            (ids.size, 2)).astype(np.float32) * 0.3
+        return ids, pix.astype(np.float32)
+
+    tick_hz = cam_hz if use_cam else lidar_hz
+    dt_frame = 1.0 / tick_hz
+    n_frames = int(duration_s * tick_hz)
+    events = []
+    t_prev = 0.0
+    for k in range(1, n_frames + 1):
+        t = k * dt_frame
+        n_imu = max(int(imu_hz / tick_hz), 1)
+        tm = t_prev + (np.arange(n_imu) + 0.5) * (t - t_prev) / n_imu
+        s = traj.sample(jnp.asarray(tm, jnp.float32))
+        w_b, a_b = np.asarray(s.w_body), np.asarray(s.a_body)
+        for i in range(n_imu):
+            events.append(("imu", float(tm[i]), w_b[i], a_b[i]))
+        gk = traj.sample(jnp.asarray([t], jnp.float32))
+        q_gt, p_gt = gk.q[0], gk.p[0]
+        if use_lidar and (not use_cam
+                          or k % max(int(tick_hz / lidar_hz), 1) == 0):
+            events.append(("scan", round(t, 6), scan_from_pose(q_gt, p_gt)))
+        if not use_lidar:
+            qn = lie.quat_mul(jnp.asarray(q_gt), lie.so3_exp_quat(
+                jnp.asarray(rng.standard_normal(3).astype(np.float32)
+                            * 0.002)))
+            events.append(("pose", round(t, 6), np.asarray(qn),
+                           np.asarray(p_gt)
+                           + rng.standard_normal(3).astype(np.float32)
+                           * 0.005))
+        if use_cam:
+            ids, pix = camera_obs(q_gt, p_gt)
+            events.append(("cam", CameraMeasurement(round(t, 6), ids, pix,
+                                                    pix)))
+        events.append(("tick", t))
+        t_prev = t
+    return traj, events, n_frames
+
+
 def run_synthetic_session(mode: str = "LVIO", duration_s: float = 20.0,
                           lag_s: float = 10.0, imu_hz: float = 200.0,
                           cam_hz: float = 20.0, lidar_hz: float = 10.0,

@@ -115,7 +115,15 @@ class ThreadedLocalMapper(LocalMapper):
         return self
 
     def stop(self):
-        """Drain, final tick, join all threads."""
+        """Drain, final tick, join all threads.
+
+        After the spinners drain, tick the smoother until quiescent: under
+        CPU contention the wall-clock optimizer thread may have run fewer
+        cycles than the synchronous pipeline would, leaving transactions
+        pending — shutdown must consume them (the reference's optimizer
+        likewise drains its queue on stop). This is what made the
+        threaded-vs-sync parity test load-flaky in round 2: the threaded
+        run stopped mid-optimization, not with different answers."""
         if not self._started:
             return
         self.join()
@@ -125,6 +133,11 @@ class ThreadedLocalMapper(LocalMapper):
         self._started = False
         with self._model_lock:
             self.smoother.flush()
+            for _ in range(64):  # bounded: each pass consumes the queue
+                if not self.smoother._pending:
+                    break
+                self.smoother.run_once()
+                self.smoother.flush()
 
     def join(self, timeout: Optional[float] = None):
         """Wait until every enqueued sensor event has been processed."""
