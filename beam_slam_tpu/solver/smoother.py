@@ -426,13 +426,15 @@ class SmootherConfig:
     # solve was in flight) are skipped at harvest.
     async_solve: bool = False
     # backpressure for async_solve: when a solve is in flight and this many
-    # transactions have already queued behind it, BLOCK on the harvest
-    # instead of skipping the tick. Without this, a faster-than-real-time
-    # replay (the on-chip session benchmark) outruns the optimizer — by
-    # harvest time most window slots have been recycled, the result is
-    # discarded as stale, and the estimate degrades (round-3 measurement:
-    # 9 completed solves over a 200-frame LIO session, ATE 1.35 m).
-    async_max_pending: int = 4
+    # CONSECUTIVE ticks have already been skipped waiting on it, BLOCK on
+    # the harvest instead of skipping again. Without this, a
+    # faster-than-real-time replay (the on-chip session benchmark) outruns
+    # the optimizer — by harvest time most window slots have been recycled,
+    # the result is discarded as stale, and the estimate degrades (round-3
+    # measurement: 9 completed solves over a 200-frame LIO session, ATE
+    # 1.35 m; the skipped ticks were waiting out the first solve's 40-60 s
+    # XLA compile).
+    async_max_skipped_ticks: int = 3
     # wall-clock solve budget (Ceres max_solver_time_in_seconds analog,
     # lvio.yaml:14). The compiled LM scan has fixed length, so the budget is
     # honored by downshifting to a short-scan executable when the EMA of
@@ -586,6 +588,7 @@ class FixedLagSmoother:
             solve_downshifts=0)
         self._cov_cache: Dict[Stamp, np.ndarray] = {}
         self._inflight: Optional[tuple] = None  # async double-buffered solve
+        self._async_skipped = 0  # consecutive ticks skipped on the inflight
 
     # -- public API ---------------------------------------------------------
     @_locked
@@ -1390,12 +1393,15 @@ class FixedLagSmoother:
             out, diag, snapshot = self._inflight
             leaves = jax.tree_util.tree_leaves(out)
             if not all(x.is_ready() for x in leaves):
-                if len(self._pending) < self.cfg.async_max_pending:
+                if self._async_skipped < self.cfg.async_max_skipped_ticks:
+                    self._async_skipped += 1
                     self._process_queue()  # keep ingesting under the solve
                     return None
                 # backpressure: ingestion has outrun the optimizer — block
-                # on the harvest so results stay fresh (see async_max_pending)
+                # on the harvest so results stay fresh
+                # (see async_max_skipped_ticks)
                 jax.block_until_ready(out)
+            self._async_skipped = 0
             self._harvest(out, diag, snapshot)
             harvested = diag
         if not self._pending and not self.slot_of_stamp:

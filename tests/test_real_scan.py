@@ -194,3 +194,55 @@ def test_real_scan_ring_grid_roundtrip(real_grid):
     fc2 = feat.extract_features(grid2)
     np.testing.assert_array_equal(np.asarray(fc1.edge_strong),
                                   np.asarray(fc2.edge_strong))
+
+
+def test_real_scan_full_lio_session(real_cloud):
+    """FULL pipeline on real data: deskew -> LOAM features -> scan-to-map
+    registration -> fixed-lag smoother, driven through the LocalMapper for a
+    multi-second trajectory through the real scan's environment — the
+    reference's end-to-end real-data pattern
+    (global_map_refinement_tests.cpp:104-321 builds a simulated multi-pose
+    trajectory from this same scan and asserts pose recovery)."""
+    from beam_slam_tpu.lidar.deskew import deskew
+    from beam_slam_tpu.models.slam_initialization import InitParams
+    from beam_slam_tpu.pipeline.config import LocalMapperConfig
+    from beam_slam_tpu.pipeline.local_mapper import LocalMapper
+    from beam_slam_tpu.utils import sim
+    from beam_slam_tpu.utils.evaluation import ate_rmse
+
+    traj = sim.AnalyticTrajectory(amp_p=(0.5, 0.4, 0.1),
+                                  v_drift=(0.25, 0.0, 0.0),
+                                  amp_r=(0.05, 0.05, 0.1))
+    imu_rate, scan_rate, T = 200.0, 5.0, 5.0
+    cfg = LocalMapperConfig(
+        mode="LIO", lag_duration=4.0, max_states=32,
+        init=InitParams(mode="LIDAR", min_trajectory_length_m=1.0,
+                        min_observability=0.1))
+    mapper = LocalMapper(cfg)
+
+    n = int(T * imu_rate)
+    tm = (np.arange(n) + 0.5) / imu_rate
+    s = traj.sample(jnp.asarray(tm, jnp.float32))
+    w_b, a_b = np.asarray(s.w_body), np.asarray(s.a_body)
+    scan_i = 1
+    for i in range(n):
+        mapper.on_imu(float(tm[i]), w_b[i], a_b[i])
+        t_scan = scan_i / scan_rate
+        if tm[i] >= t_scan:
+            g = traj.sample(jnp.asarray([t_scan], jnp.float32))
+            grid = transformed_grid(real_cloud, np.asarray(g.q[0]),
+                                    np.asarray(g.p[0]))
+            # deskew pass (identity motion window: the fixture's per-point
+            # times are zero, so this exercises the kernel path only)
+            grid = deskew(grid, g.q[0], g.p[0], g.q[0], g.p[0],
+                          round(t_scan, 6), round(t_scan, 6) + 0.1)
+            mapper.on_scan(round(t_scan, 6), grid)
+            mapper.tick()
+            scan_i += 1
+    assert mapper.initialized
+    stamps = mapper.smoother.current_stamps()
+    assert len(stamps) >= 5
+    est = np.stack([mapper.smoother.get_state(t)["p"] for t in stamps])
+    gt = traj.sample(jnp.asarray(stamps, jnp.float32))
+    ate = ate_rmse(est, np.asarray(gt.p), align="se3")
+    assert ate < 0.05, ate

@@ -70,6 +70,35 @@ def run_session(mode: str, duration_s: float, runtime: str,
             q_baselink_lidar=Q_BL, p_baselink_lidar=P_BL))
 
     threaded = runtime == "threaded"
+
+    # WARMUP: run a short prefix through a throwaway mapper so every jit
+    # executable (registration, preintegration buckets, the solve) compiles
+    # before the timed run — first-solve XLA compile is 40-60 s through the
+    # remote compile service and would otherwise dominate the measurement.
+    warm_t = min(4.0, duration_s / 2)
+    print(f"warmup ({warm_t:.0f}s prefix)...", flush=True)
+    warm = (ThreadedLocalMapper(cfg).start() if threaded
+            else LocalMapper(cfg))
+    for ev in events:
+        kind = ev[0]
+        t_ev = ev[1].stamp if kind == "cam" else ev[1]
+        if t_ev > warm_t:
+            break
+        if kind == "imu":
+            warm.on_imu(ev[1], ev[2], ev[3])
+        elif kind == "scan":
+            warm.on_scan(ev[1], ev[2])
+        elif kind == "cam":
+            warm.on_camera_measurement(ev[1])
+        elif kind == "pose":
+            warm.on_pose(ev[1], ev[2], ev[3])
+        else:
+            warm.tick()
+    if threaded:
+        warm.stop()
+    else:
+        warm.smoother.flush()
+
     mapper = (ThreadedLocalMapper(cfg).start() if threaded
               else LocalMapper(cfg))
 
