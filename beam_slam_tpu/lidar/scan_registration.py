@@ -196,6 +196,191 @@ class ScanToMapLoamRegistration:
         return True
 
 
+@functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("reg_cfg", "max_corr_trans", "max_corr_rot_rad",
+                     "max_motion_trans", "world_voxel", "we_cap", "ws_cap"))
+def _pipelined_step(state, fc: FeatureCloud, q_seed, p_seed, *,
+                    reg_cfg, max_corr_trans, max_corr_rot_rad,
+                    max_motion_trans, world_voxel, we_cap, ws_cap):
+    """ONE fused device step: assemble world map → register → validate →
+    conditional map insert. Everything the sync path does with 2 blocking
+    host round trips per scan (register pull + map add pull) runs on device;
+    the caller harvests the small result tuple asynchronously."""
+    from beam_slam_tpu.lidar import device_map as dmap
+
+    me, mev, ms, msv = dmap.assemble_world_traced(
+        state, world_voxel, we_cap, ws_cap)
+    res = reg.register_loam(fc, me, mev, ms, msv, q_seed, p_seed, reg_cfg)
+    # RegistrationValidation vs the seed (scan_registration_base params)
+    dq_c = lie.quat_mul(lie.quat_conj(q_seed), res.q)
+    dp_c = lie.quat_rotate(lie.quat_conj(q_seed), res.p - p_seed)
+    corr_ok = ((jnp.linalg.norm(dp_c) < max_corr_trans)
+               & (jnp.linalg.norm(lie.so3_log(dq_c)) < max_corr_rot_rad))
+    # motion gate: seed vs previous registered pose (max_motion_trans_m)
+    dp_m = lie.quat_rotate(lie.quat_conj(state.prev_q),
+                           p_seed - state.prev_p)
+    motion_ok = jnp.linalg.norm(dp_m) <= max_motion_trans
+    ok = res.converged & corr_ok & motion_ok
+    # chained relative factor: prev registered pose → this registered pose
+    dq = lie.quat_mul(lie.quat_conj(state.prev_q), res.q)
+    dp = lie.quat_rotate(lie.quat_conj(state.prev_q), res.p - state.prev_p)
+    new_state = dmap.add_scan_traced(state, fc, res.q, res.p, enable=ok)
+    return new_state, (res.q, res.p, dq, dp, res.information, ok)
+
+
+class PipelinedScanToMapRegistration:
+    """ScanToMapLoamRegistration with a device-resident map and a 1-deep
+    async pipeline: scan k's registration result is harvested (and its
+    relative-pose factor emitted) when scan k+1 arrives, so the per-scan
+    path has ZERO blocking host↔device round trips in steady state.
+
+    Same factor semantics as the sync strategy (chained relative poses in
+    the lidar frame, first-scan prior — scan_to_map_registration.cpp:23-92);
+    the only behavioral difference is one scan of factor latency, the async
+    analog of the reference's decoupled registration/optimizer threads.
+    """
+
+    def __init__(self, params: ScanRegistrationParams = ScanRegistrationParams(),
+                 reg_cfg: reg.LoamRegistrationConfig = reg.LoamRegistrationConfig(),
+                 map_size: int = 10, q_bl=None, p_bl=None,
+                 downsample_voxel: float = 0.0, depth: int = 1,
+                 edge_cap: int = 2112, surf_cap: int = 4096):
+        from beam_slam_tpu.lidar import device_map as dmap
+        self.params = params
+        self.reg_cfg = reg_cfg
+        self.map_size = map_size
+        self.depth = max(1, depth)
+        self.world_voxel = float(downsample_voxel)
+        self.we_cap = max(map_size * edge_cap // 2, 1024)
+        self.ws_cap = max(map_size * surf_cap // 2, 1024)
+        self.state = dmap.init_device_map(map_size, edge_cap, surf_cap)
+        self.q_bl = np.asarray([1.0, 0, 0, 0] if q_bl is None else q_bl,
+                               np.float32)
+        self.p_bl = np.asarray([0.0, 0, 0] if p_bl is None else p_bl,
+                               np.float32)
+        # host mirrors (device decides; host follows one harvest later)
+        self.slot_stamps = np.full(map_size, np.nan)
+        self._next_slot = 0
+        self.last_ok_stamp: Optional[float] = None
+        self.prev: Optional[tuple] = None  # (stamp, q, p) after harvest
+        self.pending: list = []            # [(stamp, out_tuple), ...] FIFO
+        self.failures = 0
+        self.map = self  # update_pose/empty adapter for LidarOdometry
+
+    # -- map-adapter surface (subset of RegistrationMap) --------------------
+    @property
+    def empty(self) -> bool:
+        return self.last_ok_stamp is None
+
+    def update_pose(self, stamp: float, q, p) -> bool:
+        from beam_slam_tpu.lidar import device_map as dmap
+        hit = np.where(np.isclose(self.slot_stamps, stamp, atol=1e-9))[0]
+        if len(hit) == 0:
+            return False
+        self.state = dmap.update_pose_device(
+            self.state, int(hit[0]), np.asarray(q, np.float32),
+            np.asarray(p, np.float32))
+        return True
+
+    def world_frame(self):
+        """Assembled world-frame map as device arrays (same contract as
+        RegistrationMap.world_frame; used by consumers like LidarTracker)."""
+        from beam_slam_tpu.lidar import device_map as dmap
+        return dmap.assemble_world(
+            self.state, self.world_voxel, self.we_cap, self.ws_cap)
+
+    def adopt_host_map(self, host_map: RegistrationMap, prev=None):
+        """Carry an init-phase host map over onto the device
+        (SLAMInitialization::UpdateRegistrationMap analog)."""
+        from beam_slam_tpu.lidar import device_map as dmap
+        pq = pp = None
+        if prev is not None:
+            _, pq, pp = prev
+        self.state = dmap.from_host_map(host_map, pq, pp)
+        self.slot_stamps = host_map.stamps.copy()
+        self._next_slot = host_map._next
+        if prev is not None:
+            self.prev = prev
+            self.last_ok_stamp = prev[0]
+
+    # -- registration --------------------------------------------------------
+    def _lidar_from_baselink(self, q_wb, p_wb):
+        q = lie.quat_mul(q_wb, self.q_bl)
+        p = p_wb + lie.quat_rotate(q_wb, self.p_bl)
+        return q, p
+
+    def _harvest(self, txn: Transaction, block: bool):
+        """Emit factors for finished pipeline entries (FIFO). ``block``
+        forces the oldest entry to completion (backpressure/flush)."""
+        while self.pending:
+            stamp, out = self.pending[0]
+            if not block and not all(
+                    x.is_ready() for x in jax.tree_util.tree_leaves(out)):
+                return
+            q_reg, p_reg, dq, dp, information, ok = jax.device_get(out)
+            self.pending.pop(0)
+            block = False  # only force the oldest
+            if not bool(ok):
+                self.failures += 1
+                continue
+            self.failures = 0
+            txn.add_relative_pose(
+                self.last_ok_stamp, stamp, np.asarray(dq), np.asarray(dp),
+                _sqrt_info_6(self.params, information), sensor=LIDAR_SENSOR)
+            self.last_ok_stamp = stamp
+            self.prev = (stamp, q_reg, p_reg)
+            self.slot_stamps[self._next_slot] = stamp
+            self._next_slot = (self._next_slot + 1) % self.map_size
+
+    def flush_pending(self, txn: Transaction):
+        """Block-harvest everything in flight (session shutdown)."""
+        while self.pending:
+            self._harvest(txn, block=True)
+
+    def register_new_scan(self, stamp: float, features: FeatureCloud,
+                          q_seed_bl, p_seed_bl, txn: Transaction,
+                          grid: Optional[RingGrid] = None) -> bool:
+        from beam_slam_tpu.lidar import device_map as dmap
+        q_seed, p_seed = self._lidar_from_baselink(
+            np.asarray(q_seed_bl, np.float32),
+            np.asarray(p_seed_bl, np.float32))
+
+        if self.last_ok_stamp is None and not self.pending:
+            # first scan: seed the map, optional near-perfect prior on the
+            # baselink pose (scan_registration_base.cpp fix_first_scan)
+            self.state = dmap.add_scan(self.state, features,
+                                       jnp.asarray(q_seed),
+                                       jnp.asarray(p_seed))
+            if self.params.fix_first_scan:
+                txn.add_abs_pose(stamp, np.asarray(q_seed_bl, np.float32),
+                                 np.asarray(p_seed_bl, np.float32),
+                                 (1.0 / np.sqrt(1e-9))
+                                 * np.eye(6, dtype=np.float32))
+            self.last_ok_stamp = stamp
+            self.prev = (stamp, np.asarray(q_seed), np.asarray(p_seed))
+            self.slot_stamps[self._next_slot] = stamp
+            self._next_slot = (self._next_slot + 1) % self.map_size
+            return True
+
+        # backpressure: bound in-flight work, then opportunistic harvest
+        self._harvest(txn, block=len(self.pending) >= self.depth)
+
+        self.state, out = _pipelined_step(
+            self.state, features, jnp.asarray(q_seed), jnp.asarray(p_seed),
+            reg_cfg=self.reg_cfg,
+            max_corr_trans=float(self.params.max_correction_trans_m),
+            max_corr_rot_rad=float(np.deg2rad(
+                self.params.max_correction_rot_deg)),
+            max_motion_trans=float(self.params.max_motion_trans_m),
+            world_voxel=self.world_voxel, we_cap=self.we_cap,
+            ws_cap=self.ws_cap)
+        for leaf in jax.tree_util.tree_leaves(out):
+            leaf.copy_to_host_async()
+        self.pending.append((stamp, out))
+        return True
+
+
 class MultiScanLoamRegistration:
     """Register the new scan against each of the last ``num_neighbors``
     reference scans; one relative factor per match

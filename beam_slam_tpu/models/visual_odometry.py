@@ -136,6 +136,16 @@ class VisualOdometry:
             t_init_thresh=params.max_correction_trans_m,
             r_init_thresh=np.deg2rad(params.max_correction_rot_deg))
         self._last_localize_ok = True
+        # keep keyframe poses synced to the optimized graph so SlamChunks
+        # and fallbacks carry post-optimization poses (reference
+        # VisualOdometry::onGraphUpdate reads them live from the graph)
+        smoother.register_on_update(self._on_graph_update)
+
+    def _on_graph_update(self, smoother: FixedLagSmoother):
+        for t in list(self.kf_pose.keys()):
+            if t in smoother.slot_of_stamp:
+                st = smoother.get_state(t)
+                self.kf_pose[t] = (st["q"].copy(), st["p"].copy())
 
     # -- frames ------------------------------------------------------------
     def _camera_extrinsic(self):
@@ -280,7 +290,16 @@ class VisualOdometry:
             t0, uv0 = kf_obs[0]
             if np.linalg.norm(uv - uv0) < P.min_triangulation_parallax_px:
                 continue
-            q0_wb, p0_wb = self.kf_pose[t0]
+            # triangulate against the CURRENT optimized pose of the anchor
+            # keyframe, not the pose recorded at keyframe creation: stale
+            # anchor poses triangulate landmarks in an outdated frame, and
+            # their reprojection factors then drag the whole graph back
+            # toward that frame — a steady drift (~4 mm/s measured on the
+            # 60 s LVIO session). The reference reads anchor poses from the
+            # live graph via VisualMap::GetBaselinkPose
+            # (bs_models/src/lib/vision/visual_map.cpp).
+            st0 = self.graph.get_state(t0)
+            q0_wb, p0_wb = st0["q"], st0["p"]
             q0_wc, p0_wc = self._camera_pose(q0_wb, p0_wb)
             q1_wc, p1_wc = self._camera_pose(*self._current_pose)
             ray0 = self.camera.back_project(jnp.asarray(uv0))

@@ -169,6 +169,11 @@ class LocalMapperConfig:
         lreg.LoamRegistrationConfig()
     registration_type: str = "SCANTOMAP"  # SCANTOMAP | MULTISCAN
     map_size: int = 10
+    # device-resident map + 1-deep async registration pipeline (zero
+    # blocking host<->device round trips per scan; factors arrive one scan
+    # late). The TPU-session runtime default; sync strategies remain the
+    # deterministic-test default.
+    pipelined_registration: bool = False
     # JSON sub-config tier (reference lio.yaml:55-59 registration_config /
     # matcher_config / input_filters_config — paths relative to config_root)
     config_root: Optional[str] = None
@@ -238,7 +243,7 @@ class LocalMapperConfig:
         in-struct params when no JSON sub-configs are set."""
         from beam_slam_tpu.lidar.scan_registration import (
             ScanToMapLoamRegistration, MultiScanLoamRegistration,
-            create_scan_registration)
+            PipelinedScanToMapRegistration, create_scan_registration)
         if self.registration_config and self.matcher_config:
             return create_scan_registration(
                 self.registration_config, self.matcher_config,
@@ -247,6 +252,10 @@ class LocalMapperConfig:
             return MultiScanLoamRegistration(
                 self.scan_registration, self.loam_registration,
                 q_bl=q_bl, p_bl=p_bl), self.loam
+        if self.pipelined_registration:
+            return PipelinedScanToMapRegistration(
+                self.scan_registration, self.loam_registration,
+                map_size=self.map_size, q_bl=q_bl, p_bl=p_bl), self.loam
         return ScanToMapLoamRegistration(
             self.scan_registration, self.loam_registration,
             map_size=self.map_size, q_bl=q_bl, p_bl=p_bl), self.loam

@@ -160,15 +160,20 @@ class LocalMapper:
             # slam_initialization.cpp:364) — starting from an empty map makes
             # the first post-init registration lock onto a single sparse scan
             # and corrupts the first relative factor.
-            from beam_slam_tpu.lidar.scan_registration import \
-                ScanToMapLoamRegistration
+            from beam_slam_tpu.lidar.scan_registration import (
+                PipelinedScanToMapRegistration, ScanToMapLoamRegistration)
             init_reg = self.init.lidar_path.reg
-            if (isinstance(self.lo.registration, ScanToMapLoamRegistration)
+            if (isinstance(self.lo.registration,
+                           (ScanToMapLoamRegistration,
+                            PipelinedScanToMapRegistration))
                     and not init_reg.map.empty):
                 import jax.numpy as jnp
 
                 reg = self.lo.registration
-                reg.map = init_reg.map
+                pipelined = isinstance(reg, PipelinedScanToMapRegistration)
+                host_map = init_reg.map
+                if not pipelined:
+                    reg.map = host_map
                 # rebase every init scan pose from the *optimized* graph
                 # (the ignition solve may have rotated the whole window to
                 # satisfy gravity, so a pure q_align rotation is not enough)
@@ -177,10 +182,12 @@ class LocalMapper:
                     st = self.smoother.get_state(stamp)
                     q_wl, p_wl = reg._lidar_from_baselink(
                         jnp.asarray(st["q"]), jnp.asarray(st["p"]))
-                    reg.map.update_pose(stamp, np.asarray(q_wl),
-                                        np.asarray(p_wl))
-                    last = (stamp, q_wl, p_wl)
-                if last is not None:
+                    host_map.update_pose(stamp, np.asarray(q_wl),
+                                         np.asarray(p_wl))
+                    last = (stamp, np.asarray(q_wl), np.asarray(p_wl))
+                if pipelined:
+                    reg.adopt_host_map(host_map, prev=last)
+                elif last is not None:
                     reg.prev = last
         if self.vo is not None:
             self.vo.initialize(result["stamp"])
@@ -247,6 +254,19 @@ class LocalMapper:
             return None
         self._pending_tick = False
         return self.smoother.run_once()
+
+    def flush(self):
+        """Drain in-flight async work: pipelined-registration factors still
+        in the device pipeline, then the double-buffered solve. Call at
+        session end before reading final states."""
+        if (self.lo is not None
+                and getattr(self.lo.registration, "pending", None)):
+            from beam_slam_tpu.solver.smoother import Transaction
+            txn = Transaction(stamp=self.lo.last_stamp)
+            self.lo.registration.flush_pending(txn)
+            self.smoother.send_transaction(txn)
+            self.smoother.run_once()
+        return self.smoother.flush()
 
     def current_pose(self, t: Optional[float] = None):
         """Latest (or time-interpolated) baselink pose — the

@@ -146,10 +146,16 @@ def run_synthetic_session(mode: str = "LVIO", duration_s: float = 20.0,
                           cam_hz: float = 20.0, lidar_hz: float = 10.0,
                           max_states: int = 64, max_iterations: int = 8,
                           seed: int = 11,
-                          scene=None) -> SessionResult:
+                          scene=None, on_tick=None,
+                          true_landmarks_out=None) -> SessionResult:
     """One full pipeline session at the given envelope. ``mode`` selects
     which sensors feed the local mapper (LIO: no camera; VIO: no lidar after
-    init — init still uses FRAMEINIT/LIDAR as configured; LVIO: all)."""
+    init — init still uses FRAMEINIT/LIDAR as configured; LVIO: all).
+
+    ``on_tick(mapper, t, traj)`` runs after every frame tick — the
+    instrumentation hook for accuracy diagnosis (tools/diagnose_lvio.py).
+    ``true_landmarks_out`` (a list) receives the ground-truth landmark
+    array so callers can score the estimated map."""
     rng = np.random.default_rng(seed)
     v_drift = (0.35, 0.05, 0.0)
     traj = sim.AnalyticTrajectory(amp_p=(0.6, 0.5, 0.2),
@@ -173,6 +179,8 @@ def run_synthetic_session(mode: str = "LVIO", duration_s: float = 20.0,
         + rng.uniform(-4.5, 4.5, n_lm)
     lms = np.stack([lx, ly, rng.uniform(-2.2, 2.2, n_lm)],
                    axis=1).astype(np.float32)
+    if true_landmarks_out is not None:
+        true_landmarks_out.append(lms)
 
     cfg = LocalMapperConfig(
         mode=mode, lag_duration=lag_s, max_states=max_states,
@@ -257,6 +265,8 @@ def run_synthetic_session(mode: str = "LVIO", duration_s: float = 20.0,
             if stamps:
                 st = mapper.smoother.get_state(stamps[-1])
                 est[stamps[-1]] = st["p"].copy()
+        if on_tick is not None:
+            on_tick(mapper, t, traj)
         t_prev = t
     wall = time.perf_counter() - t_wall0
 

@@ -1435,25 +1435,24 @@ class FixedLagSmoother:
         counters — immune to ABA stamp reuse, unlike a stamp comparison)."""
         gen_snap, lm_gen_snap = snapshot
         self._inflight = None
-        q = np.array(out.imu.q)
-        p = np.array(out.imu.p)
-        v = np.array(out.imu.v)
-        bg = np.array(out.imu.bg)
-        ba = np.array(out.imu.ba)
+        # ONE batched device_get (per-array np.array pulls are a device->host
+        # round trip EACH — ~10-40 ms through a remote-TPU tunnel; same fix
+        # as _pull_back)
+        (q, p, v, bg, ba, ext_q, ext_p, mw, ma, lm_pt) = jax.device_get(
+            (out.imu.q, out.imu.p, out.imu.v, out.imu.bg, out.imu.ba,
+             out.extrinsics.q, out.extrinsics.p,
+             out.motion.w, out.motion.a, out.landmarks.pt))
         same = self.state_active & (gen_snap == self.state_gen)
         self.q[same] = q[same]
         self.p[same] = p[same]
         self.v[same] = v[same]
         self.bg[same] = bg[same]
         self.ba[same] = ba[same]
-        self.ext_q = np.array(out.extrinsics.q)
-        self.ext_p = np.array(out.extrinsics.p)
+        self.ext_q = np.array(ext_q)
+        self.ext_p = np.array(ext_p)
         if self.cfg.unicycle_full_state:
-            mw = np.array(out.motion.w)
-            ma = np.array(out.motion.a)
             self.mot_w[same] = mw[same]
             self.mot_a[same] = ma[same]
-        lm_pt = np.array(out.landmarks.pt)
         lm_same = self.lm_active & (lm_gen_snap == self.lm_gen)
         self.lm_pt[lm_same] = lm_pt[lm_same]
         self._cov_cache.clear()
