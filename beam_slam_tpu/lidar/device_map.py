@@ -65,7 +65,14 @@ def init_device_map(map_size: int = 10, edge_cap: int = 2112,
 
 
 def _compact(pts: jnp.ndarray, valid: jnp.ndarray, cap: int):
-    """Stable valid-first compaction of [N,3]+[N] to fixed [cap,3]+[cap]."""
+    """Stable valid-first compaction of [N,3]+[N] to fixed [cap,3]+[cap].
+    Pads with invalid zero rows when N < cap (small scans)."""
+    n = pts.shape[0]
+    if n < cap:
+        pts = jnp.concatenate(
+            [pts, jnp.zeros((cap - n, 3), pts.dtype)], axis=0)
+        valid = jnp.concatenate(
+            [valid, jnp.zeros((cap - n,), bool)], axis=0)
     order = jnp.argsort(~valid, stable=True)
     sel = order[:cap]
     return pts[sel], valid[sel]

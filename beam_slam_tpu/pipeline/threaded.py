@@ -132,7 +132,9 @@ class ThreadedLocalMapper(LocalMapper):
             t.join(timeout=30.0)
         self._started = False
         with self._model_lock:
-            self.smoother.flush()
+            # full LocalMapper.flush: drains the pipelined-registration
+            # device queue (factors still in flight) AND the async solve
+            self.flush()
             for _ in range(64):  # bounded: each pass consumes the queue
                 if not self.smoother._pending:
                     break
