@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from beam_slam_tpu.core import lie
+from beam_slam_tpu.ops import smallmat as sm
 from beam_slam_tpu.core.window import (IMU_DOF, LANDMARK_DOF, MOTION_DOF,
                                        POSE_DOF, WindowState)
 
@@ -634,12 +635,16 @@ class Unicycle3DFactors(FactorBatch):
 def _pinhole_project(X_c, intr, pixel, A):
     """Clamped pinhole projection shared by the reprojection families.
     Returns (whitened residual [2], A·∂π/∂X_c [2,3]). The z-clamp gradient
-    matches jnp.maximum's JVP convention (zero once clamped)."""
+    matches jnp.maximum's JVP convention (zero once clamped).
+
+    All products go through ops.smallmat (elementwise broadcast-mul-reduce):
+    a per-factor [2,2]@[2,3] under vmap is a batched dot that XLA pads to
+    MXU tiles — measured at GBs of pure padding traffic per assembly."""
     z_raw = X_c[2]
     z = jnp.maximum(z_raw, 1e-3)
     u = intr[0] * X_c[0] / z + intr[2]
     v = intr[1] * X_c[1] / z + intr[3]
-    r = A @ (jnp.stack([u, v]) - pixel)
+    r = sm.mv(A, jnp.stack([u, v]) - pixel)
     invz = 1.0 / z
     live = (z_raw > 1e-3).astype(X_c.dtype)
     zero = jnp.zeros_like(z)
@@ -649,7 +654,7 @@ def _pinhole_project(X_c, intr, pixel, A):
         jnp.stack([zero, intr[1] * invz,
                    -intr[1] * X_c[1] * invz * invz * live]),
     ])
-    return r, A @ J_pi
+    return r, sm.mm(A, J_pi)
 
 
 class ReprojectionFactors(FactorBatch):
@@ -699,7 +704,7 @@ class ReprojectionFactors(FactorBatch):
         z = jnp.maximum(X_c[2], 1e-3)  # clamp behind-camera points
         u = intr[0] * X_c[0] / z + intr[2]
         v = intr[1] * X_c[1] / z + intr[3]
-        return A @ (jnp.stack([u, v]) - pixel)
+        return sm.mv(A, jnp.stack([u, v]) - pixel)
 
     def residual_and_jacobian_used(self, block_states, params_one):
         """Closed-form Jacobian of the residual above. Right perturbation
@@ -710,15 +715,15 @@ class ReprojectionFactors(FactorBatch):
         pixel, intr, A = params_one
         R_wb = lie.quat_to_matrix(q_wb)
         R_bc = lie.quat_to_matrix(q_bc)
-        Y = R_wb.T @ (X_w - p_wb)          # point in baselink frame
-        X_c = R_bc.T @ (Y - p_bc)
+        Y = sm.mv(R_wb.T, X_w - p_wb)      # point in baselink frame
+        X_c = sm.mv(R_bc.T, Y - p_bc)
         r, AJ = _pinhole_project(X_c, intr, pixel, A)
-        AJe = AJ @ R_bc.T                  # ∂r/∂Y
-        J_lm = AJe @ R_wb.T                # ∂r/∂X_w (landmark)
+        AJe = sm.mm(AJ, R_bc.T)            # ∂r/∂Y
+        J_lm = sm.mm(AJe, R_wb.T)          # ∂r/∂X_w (landmark)
         J = jnp.concatenate([
-            AJe @ lie.skew(Y),             # ∂r/∂δθ_wb
+            sm.mm(AJe, lie.skew(Y)),       # ∂r/∂δθ_wb
             -J_lm,                         # ∂r/∂δp_wb
-            AJ @ lie.skew(X_c),            # ∂r/∂δθ_bc
+            sm.mm(AJ, lie.skew(X_c)),      # ∂r/∂δθ_bc
             -AJe,                          # ∂r/∂δp_bc
             J_lm,
         ], axis=1)
@@ -784,7 +789,7 @@ class InverseDepthReprojectionFactors(FactorBatch):
         z = jnp.maximum(X_m[2], 1e-3)
         u = intr[0] * X_m[0] / z + intr[2]
         v = intr[1] * X_m[1] / z + intr[3]
-        return A @ (jnp.stack([u, v]) - pixel)
+        return sm.mv(A, jnp.stack([u, v]) - pixel)
 
     def residual_and_jacobian_used(self, block_states, params_one):
         """Closed-form Jacobian: anchor pose, measurement pose, shared
@@ -799,25 +804,27 @@ class InverseDepthReprojectionFactors(FactorBatch):
         R_m = lie.quat_to_matrix(q_m)
         R_e = lie.quat_to_matrix(q_bc)
         X_a = jnp.concatenate([bearing, jnp.ones(1, bearing.dtype)]) / rho
-        v_a = R_e @ X_a + p_bc             # anchor-baselink-frame point
-        X_w = R_a @ v_a + p_a
-        Y_m = R_m.T @ (X_w - p_m)          # measurement-baselink frame
-        X_m = R_e.T @ (Y_m - p_bc)
+        v_a = sm.mv(R_e, X_a) + p_bc       # anchor-baselink-frame point
+        X_w = sm.mv(R_a, v_a) + p_a
+        Y_m = sm.mv(R_m.T, X_w - p_m)      # measurement-baselink frame
+        X_m = sm.mv(R_e.T, Y_m - p_bc)
         r, AJ = _pinhole_project(X_m, intr, pixel, A)
-        B = R_e.T @ R_m.T                  # ∂X_m/∂δp_a
-        C = B @ R_a                        # anchor-baselink → meas camera
-        AJB = AJ @ B
-        AJC = AJ @ C
-        CRe = C @ R_e
+        B = sm.mm(R_e.T, R_m.T)            # ∂X_m/∂δp_a
+        C = sm.mm(B, R_a)                  # anchor-baselink → meas camera
+        AJB = sm.mm(AJ, B)
+        AJC = sm.mm(AJ, C)
+        CRe = sm.mm(C, R_e)
         live_rho = (rho_raw > 1e-4).astype(X_m.dtype)
-        J_rho = (AJ @ (CRe @ (-X_a / rho)))[:, None] * live_rho
+        J_rho = sm.mv(AJ, sm.mv(CRe, -X_a / rho))[:, None] * live_rho
+        AJRe = sm.mm(AJ, R_e.T)
         J = jnp.concatenate([
-            -AJC @ lie.skew(v_a),          # anchor δθ
+            -sm.mm(AJC, lie.skew(v_a)),    # anchor δθ
             AJB,                           # anchor δp
-            (AJ @ R_e.T) @ lie.skew(Y_m),  # measurement δθ
+            sm.mm(AJRe, lie.skew(Y_m)),    # measurement δθ
             -AJB,                          # measurement δp
-            AJ @ lie.skew(X_m) - AJC @ R_e @ lie.skew(X_a),  # extrinsic δθ
-            AJC - AJ @ R_e.T,              # extrinsic δp
+            sm.mm(AJ, lie.skew(X_m))
+            - sm.mm(sm.mm(AJC, R_e), lie.skew(X_a)),  # extrinsic δθ
+            AJC - AJRe,                    # extrinsic δp
             J_rho,
         ], axis=1)
         return r, J
@@ -871,7 +878,7 @@ class InverseDepthUnaryReprojectionFactors(FactorBatch):
         z = jnp.maximum(X_m[2], 1e-3)
         u = intr[0] * X_m[0] / z + intr[2]
         v = intr[1] * X_m[1] / z + intr[3]
-        return A @ (jnp.stack([u, v]) - pixel)
+        return sm.mv(A, jnp.stack([u, v]) - pixel)
 
     def residual_and_jacobian_used(self, block_states, params_one):
         """Closed-form Jacobian: the anchor camera pose is a fixed
@@ -885,18 +892,18 @@ class InverseDepthUnaryReprojectionFactors(FactorBatch):
         R_e = lie.quat_to_matrix(q_bc)
         R_wca = lie.quat_to_matrix(q_wca)
         X_a = jnp.concatenate([bearing, jnp.ones(1, bearing.dtype)]) / rho
-        X_w = R_wca @ X_a + p_wca
-        Y_m = R_m.T @ (X_w - p_m)
-        X_m = R_e.T @ (Y_m - p_bc)
+        X_w = sm.mv(R_wca, X_a) + p_wca
+        Y_m = sm.mv(R_m.T, X_w - p_m)
+        X_m = sm.mv(R_e.T, Y_m - p_bc)
         r, AJ = _pinhole_project(X_m, intr, pixel, A)
-        AJe = AJ @ R_e.T
-        B = AJe @ R_m.T                    # ∂r/∂X_w
+        AJe = sm.mm(AJ, R_e.T)
+        B = sm.mm(AJe, R_m.T)              # ∂r/∂X_w
         live_rho = (rho_raw > 1e-4).astype(X_m.dtype)
-        J_rho = (B @ (R_wca @ (-X_a / rho)))[:, None] * live_rho
+        J_rho = sm.mv(B, sm.mv(R_wca, -X_a / rho))[:, None] * live_rho
         J = jnp.concatenate([
-            AJe @ lie.skew(Y_m),           # measurement δθ
+            sm.mm(AJe, lie.skew(Y_m)),     # measurement δθ
             -B,                            # measurement δp
-            AJ @ lie.skew(X_m),            # extrinsic δθ
+            sm.mm(AJ, lie.skew(X_m)),      # extrinsic δθ
             -AJe,                          # extrinsic δp
             J_rho,
         ], axis=1)
@@ -934,4 +941,4 @@ class GravityAlignmentFactors(FactorBatch):
         # Rotate the body-frame gravity direction into world; when aligned it
         # equals [0, 0, -1], so the xy components are the roll/pitch error.
         g_world = lie.quat_rotate(q, g_body)
-        return A @ g_world[0:2]
+        return sm.mv(A, g_world[0:2])

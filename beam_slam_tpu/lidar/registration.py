@@ -30,23 +30,36 @@ from beam_slam_tpu.lidar.cloud import FeatureCloud
 
 
 class LoamRegistrationConfig(NamedTuple):
-    # Total GN step budget. The steps are split across ``corr_refits``
-    # correspondence fits: each fit runs a k-NN search + line/plane fits,
-    # then ``ceil(iterations / corr_refits)`` fixed-correspondence GN steps.
-    # corr_refits=0 (default) means refit EVERY step — the A-LOAM schedule.
+    # Total GN step budget. corr_refits=0 (default) runs the ADAPTIVE
+    # schedule: correspondences are refit (k-NN + line/plane fits — the
+    # expensive stage) whenever the pose has moved more than
+    # ``refit_rot_tol``/``refit_trans_tol`` since the last fit, and reused
+    # otherwise (a lax.cond skips the k-NN entirely). Near convergence the
+    # pose stops moving, the assignments are provably stable, and the
+    # remaining GN steps cost only the cheap residual solve — recovering the
+    # A-LOAM schedule's amortization without its staleness risk.
     #
     # Measured caution (round-3 regression root cause): taking >1 GN step on
     # *stale* correspondences overshoots past where the correspondences
     # change and lands the alternation in a false local minimum ~13 cm off
     # (tests/test_sensor_log.py replay-LIO went 11x over its ATE bound when
-    # the default dropped to 2 refits x 4 steps). libbeam's LoamMatcher gets
-    # away with few refits (iterate_correspondences,
-    # beam_slam_launch/config/matchers/loam_vlp16.json) because Ceres solves
-    # robustified costs on real cluttered scans; on this engine's fixed-step
-    # GN the refit-every-step schedule is the robust default, and fewer
-    # refits are an expert opt-in via this field.
+    # the default dropped to 2 refits x 4 steps). The movement gate avoids
+    # exactly that: any step large enough to change assignments exceeds the
+    # tolerance and forces a refit before the next step.
+    #
+    # corr_refits>0 is the legacy fixed schedule: that many fits, each
+    # followed by ceil(iterations/corr_refits) fixed-correspondence steps
+    # (used by the offline refinement tiers that want refit-every-step
+    # deterministically: corr_refits=iterations).
     iterations: int = 8
     corr_refits: int = 0
+    # adaptive-schedule movement gates (pose change since the last fit that
+    # forces a correspondence refit). Scale intuition: neighbor sets change
+    # when points move a noticeable fraction of the feature spacing (~5-10
+    # cm on a VLP-16 map); 5 mm / 0.2 deg is ~10x below that, so reused
+    # assignments are exact in practice. 0 disables reuse (refit every step).
+    refit_rot_tol: float = 0.0035
+    refit_trans_tol: float = 0.005
     k_edge: int = 5
     # k_surf must be large enough to reach across scan rings: the k nearest
     # neighbors of a surface point are often collinear along its own ring,
@@ -325,10 +338,9 @@ def register_loam(scan: FeatureCloud, map_edges, map_edges_valid,
     refits = max(1, min(cfg.corr_refits or cfg.iterations, cfg.iterations))
     inner_steps = -(-cfg.iterations // refits)  # ceil
 
-    def refit_body(carry, _):
-        q, p = carry
-        # correspondence fit at the current estimate (the expensive stage:
-        # two k-NN searches + neighbor line/plane fits)
+    def fit_corr(q, p):
+        """Correspondence fit at the current estimate (the expensive stage:
+        two k-NN searches + neighbor line/plane fits)."""
         e_map = lie.quat_rotate(q[None, :], edges) + p[None, :]
         s_map = lie.quat_rotate(q[None, :], surfs) + p[None, :]
         if cfg.corr_mode == "radius":
@@ -341,64 +353,100 @@ def register_loam(scan: FeatureCloud, map_edges, map_edges_valid,
                                              map_edges_valid, cfg)
             n_hat, off, w_s = _plane_residuals(s_map, surfs_valid, map_surfs,
                                                map_surfs_valid, cfg)
+        return (cen, dirs, w_e, n_hat, off, w_s)
+
+    def gn_step(q, p, corr):
+        """One fixed-correspondence GN step (the Ceres-solve analog)."""
+        cen, dirs, w_e, n_hat, off, w_s = corr
         n_in = jnp.sum(w_e) + jnp.sum(w_s)
 
-        def gn_body(carry2, _):
-            q, p = carry2
-
-            def residuals(delta):
-                dq = lie.so3_exp_quat(delta[0:3])
-                q_new = lie.quat_mul(q, dq)
-                p_new = p + delta[3:6]
-                e = lie.quat_rotate(q_new[None, :], edges) + p_new[None, :]
-                s = lie.quat_rotate(q_new[None, :], surfs) + p_new[None, :]
-                # point-to-line distance; eps-guarded sqrt: the plain norm
-                # has a NaN jacfwd gradient when the cross product is
-                # exactly zero (point on the line), which poisons the GN
-                # system.
-                cr = jnp.cross(e - cen, dirs)
-                r_e = jnp.sqrt(jnp.sum(cr * cr, axis=1) + 1e-12)
-                r_s = jnp.einsum("ni,ni->n", s, n_hat) + off  # pt-to-plane
-                return jnp.concatenate([r_e * w_e, r_s * w_s])
-
-            delta0 = jnp.zeros(6, dtype)
-            r = residuals(delta0)
-            J = jax.jacfwd(residuals)(delta0)
-            H = J.T @ J
-            g = -J.T @ r
-            Hd = H + 1e-4 * jnp.eye(6, dtype=dtype)
-            delta = jnp.linalg.solve(Hd, g)
-            ok = jnp.all(jnp.isfinite(delta))
-            delta = jnp.where(ok, delta, 0.0)
-            # trust region: a refit with a degenerate correspondence set can
-            # produce one catastrophic step that the remaining iterations
-            # never recover from — clamp rotation/translation step norms...
-            rot_n = jnp.linalg.norm(delta[0:3])
-            tr_n = jnp.linalg.norm(delta[3:6])
-            delta = delta.at[0:3].multiply(jnp.minimum(
-                1.0, cfg.max_rot_step / jnp.maximum(rot_n, 1e-12)))
-            delta = delta.at[3:6].multiply(jnp.minimum(
-                1.0, cfg.max_trans_step / jnp.maximum(tr_n, 1e-12)))
-            # ...and reject any step that increases the
-            # (fixed-correspondence) cost.
-            cost0 = jnp.sum(r * r)
-            cost1 = jnp.sum(residuals(delta) ** 2)
-            accept = ok & (cost1 < cost0)
-            delta = jnp.where(accept, delta, 0.0)
-            q_new = lie.quat_normalize(
-                lie.quat_mul(q, lie.so3_exp_quat(delta[0:3])))
+        def residuals(delta):
+            dq = lie.so3_exp_quat(delta[0:3])
+            q_new = lie.quat_mul(q, dq)
             p_new = p + delta[3:6]
-            mean_r = jnp.sum(jnp.abs(r)) / jnp.maximum(n_in, 1)
-            return (q_new, p_new), (H, mean_r, ok)
+            e = lie.quat_rotate(q_new[None, :], edges) + p_new[None, :]
+            s = lie.quat_rotate(q_new[None, :], surfs) + p_new[None, :]
+            # point-to-line distance; eps-guarded sqrt: the plain norm
+            # has a NaN jacfwd gradient when the cross product is
+            # exactly zero (point on the line), which poisons the GN
+            # system.
+            cr = jnp.cross(e - cen, dirs)
+            r_e = jnp.sqrt(jnp.sum(cr * cr, axis=1) + 1e-12)
+            r_s = jnp.einsum("ni,ni->n", s, n_hat) + off  # pt-to-plane
+            return jnp.concatenate([r_e * w_e, r_s * w_s])
 
-        # fixed-correspondence GN steps (the Ceres-solve analog)
-        (q, p), (Hs, mean_rs, oks) = jax.lax.scan(
-            gn_body, (q, p), None, length=inner_steps)
-        return (q, p), (Hs[-1], n_in, mean_rs[-1], oks[-1])
+        delta0 = jnp.zeros(6, dtype)
+        r = residuals(delta0)
+        J = jax.jacfwd(residuals)(delta0)
+        H = J.T @ J
+        g = -J.T @ r
+        Hd = H + 1e-4 * jnp.eye(6, dtype=dtype)
+        delta = jnp.linalg.solve(Hd, g)
+        ok = jnp.all(jnp.isfinite(delta))
+        delta = jnp.where(ok, delta, 0.0)
+        # trust region: a refit with a degenerate correspondence set can
+        # produce one catastrophic step that the remaining iterations
+        # never recover from — clamp rotation/translation step norms...
+        rot_n = jnp.linalg.norm(delta[0:3])
+        tr_n = jnp.linalg.norm(delta[3:6])
+        delta = delta.at[0:3].multiply(jnp.minimum(
+            1.0, cfg.max_rot_step / jnp.maximum(rot_n, 1e-12)))
+        delta = delta.at[3:6].multiply(jnp.minimum(
+            1.0, cfg.max_trans_step / jnp.maximum(tr_n, 1e-12)))
+        # ...and reject any step that increases the
+        # (fixed-correspondence) cost.
+        cost0 = jnp.sum(r * r)
+        cost1 = jnp.sum(residuals(delta) ** 2)
+        accept = ok & (cost1 < cost0)
+        delta = jnp.where(accept, delta, 0.0)
+        q_new = lie.quat_normalize(
+            lie.quat_mul(q, lie.so3_exp_quat(delta[0:3])))
+        p_new = p + delta[3:6]
+        mean_r = jnp.sum(jnp.abs(r)) / jnp.maximum(n_in, 1)
+        return (q_new, p_new), (H, n_in, mean_r, ok)
 
-    (q, p), (Hs, n_ins, mean_rs, oks) = jax.lax.scan(
-        refit_body, (q0.astype(dtype), p0.astype(dtype)), None,
-        length=refits)
+    adaptive = (cfg.corr_refits == 0
+                and (cfg.refit_rot_tol > 0 or cfg.refit_trans_tol > 0))
+    if adaptive:
+        # movement-gated refit: k-NN + fits run only when the pose moved
+        # enough since the last fit to change assignments; the lax.cond
+        # skips the whole correspondence stage otherwise (steady-state
+        # seeds converge after 1-2 refits → most iterations cost only the
+        # 6-dof GN solve)
+        q0d = q0.astype(dtype)
+        p0d = p0.astype(dtype)
+        corr0 = fit_corr(q0d, p0d)
+
+        def body(carry, _):
+            q, p, corr, q_ref, p_ref = carry
+            dq_m = lie.quat_mul(lie.quat_conj(q_ref), q)
+            moved = ((jnp.linalg.norm(lie.so3_log(dq_m))
+                      > cfg.refit_rot_tol)
+                     | (jnp.linalg.norm(p - p_ref) > cfg.refit_trans_tol))
+            corr, q_ref, p_ref = jax.lax.cond(
+                moved,
+                lambda args: (fit_corr(args[0], args[1]), args[0], args[1]),
+                lambda args: (args[2], args[3], args[4]),
+                (q, p, corr, q_ref, p_ref))
+            (q_new, p_new), (H, n_in, mean_r, ok) = gn_step(q, p, corr)
+            return ((q_new, p_new, corr, q_ref, p_ref),
+                    (H, n_in, mean_r, ok))
+
+        (q, p, _, _, _), (Hs, n_ins, mean_rs, oks) = jax.lax.scan(
+            body, (q0d, p0d, corr0, q0d, p0d), None,
+            length=cfg.iterations)
+    else:
+        def refit_body(carry, _):
+            q, p = carry
+            corr = fit_corr(q, p)
+            (q, p), (Hs, n_ins, mean_rs, oks) = jax.lax.scan(
+                lambda c, _: gn_step(c[0], c[1], corr), (q, p), None,
+                length=inner_steps)
+            return (q, p), (Hs[-1], n_ins[-1], mean_rs[-1], oks[-1])
+
+        (q, p), (Hs, n_ins, mean_rs, oks) = jax.lax.scan(
+            refit_body, (q0.astype(dtype), p0.astype(dtype)), None,
+            length=refits)
     H = Hs[-1]
     n_in = n_ins[-1]
     converged = (n_in >= cfg.min_inliers) & oks[-1]

@@ -1,0 +1,434 @@
+"""Shared-topology batched LM solve — the submap-refinement throughput path.
+
+``parallel/sharded.solve_batched`` (plain vmap of the single-window solve)
+gave ZERO batch scaling on TPU (round-3 bench: B=1→32 both ~75 windows/s).
+Profiling (tools/profile_batched.py / profile_assembly.py) localized the
+flatline: under vmap every per-factor gather and one-hot Gram scatter lowers
+to a *batch-looped* small op — 32 windows cost 32 × the latency-bound time of
+one, and the MXU never sees a big matmul.
+
+This module exploits what the submap-refinement workload actually has
+(bs_models/src/lib/global_mapping/submap_refinement.cpp:24-162 — B
+independent windows of the SAME factor-graph template): when the slot
+topology (``slots``/``active`` of every family, and window capacities) is
+identical across the batch, every gather and scatter can use ONE shared
+one-hot matrix with the batch dim folded into the GEMM's N dimension:
+
+  * block-state gathers:   [F, K] @ [K, B·C]      (one GEMM per block kind)
+  * Hessian region scatter: [C₁·C₂, x] @ [x, B·d₁·d₂]
+  * pose-landmark coupling: [C·L, x] @ [x, B·d·3]
+
+— all large MXU matmuls instead of B loops of tiny ones. The residual /
+Jacobian math itself is elementwise VPU work that vmaps fine and reuses the
+exact per-factor functions of :mod:`beam_slam_tpu.core.factors` (so the
+factor math cannot diverge from the reference-parity implementations).
+
+Contract: callers must pass families whose ``slots`` and ``active`` arrays
+are equal across the leading batch axis (``assert_shared_topology`` checks
+on host). ``tests/test_batched_solver.py`` asserts numerical agreement with
+the generic vmapped solve.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from beam_slam_tpu.core import factors as fc
+from beam_slam_tpu.core.window import (IMU_DOF, LANDMARK_DOF, MOTION_DOF,
+                                       POSE_DOF, WindowState)
+from beam_slam_tpu.solver import gauss_newton as gn
+
+
+def _first(tree):
+    """Batch element 0 of a pytree (trace-safe)."""
+    return jax.tree_util.tree_map(lambda x: x[0], tree)
+
+
+def assert_shared_topology(families_b) -> None:
+    """Host-side check that every family's slots/active are batch-constant.
+    Call OUTSIDE jit (concrete arrays)."""
+    for fam in families_b:
+        s = np.asarray(fam.slots)
+        a = np.asarray(fam.active)
+        if not (s == s[:1]).all():
+            raise ValueError(
+                f"{type(fam).__name__}: slots differ across the batch — "
+                "the shared-topology solve does not apply; use "
+                "parallel.sharded.solve_batched")
+        if not (a == a[:1]).all():
+            raise ValueError(
+                f"{type(fam).__name__}: active masks differ across the batch")
+
+
+def _state_table(window_b: WindowState, kind: str) -> jnp.ndarray:
+    """Per-kind state table [B, C, width] for one-hot gathers."""
+    if kind == fc.BLOCK_IMU:
+        s = window_b.imu
+        return jnp.concatenate([s.q, s.p, s.v, s.bg, s.ba], axis=-1)  # 16
+    if kind == fc.BLOCK_EXTRINSIC:
+        s = window_b.extrinsics
+        return jnp.concatenate([s.q, s.p], axis=-1)                   # 7
+    if kind == fc.BLOCK_MOTION:
+        s = window_b.motion
+        return jnp.concatenate([s.w, s.a], axis=-1)                   # 6
+    if kind == fc.BLOCK_LANDMARK:
+        return window_b.landmarks.pt                                  # 3
+    raise ValueError(kind)
+
+
+def _split_state(kind: str, g: jnp.ndarray):
+    """Split a gathered [.., width] table row back into the block-state
+    tuple the residual functions expect (same layout as _gather_block)."""
+    if kind == fc.BLOCK_IMU:
+        return (g[..., 0:4], g[..., 4:7], g[..., 7:10], g[..., 10:13],
+                g[..., 13:16])
+    if kind == fc.BLOCK_EXTRINSIC:
+        return (g[..., 0:4], g[..., 4:7])
+    if kind == fc.BLOCK_MOTION:
+        return (g[..., 0:3], g[..., 3:6])
+    if kind == fc.BLOCK_LANDMARK:
+        return (g,)
+    raise ValueError(kind)
+
+
+def _active_of(window_b: WindowState, kind: str) -> jnp.ndarray:
+    if kind == fc.BLOCK_IMU:
+        return window_b.imu.active
+    if kind == fc.BLOCK_EXTRINSIC:
+        return window_b.extrinsics.active
+    if kind == fc.BLOCK_MOTION:
+        return window_b.motion.active
+    if kind == fc.BLOCK_LANDMARK:
+        return window_b.landmarks.active
+    raise ValueError(kind)
+
+
+def linearize_shared(fam_b, window_b: WindowState):
+    """Batched linearize with shared topology: one-hot GEMM gathers instead
+    of B looped gathers. Returns (r [B,F,R], J [B,F,R,Dd], lm_slot [F]|None,
+    J_lm [B,F,R,3]|None) — whitened and pre-masked like
+    FactorBatch.linearize."""
+    cls = type(fam_b)
+    blocks = cls.BLOCKS
+    fam0 = _first(fam_b)
+    slots0 = fam0.slots                      # [F, nb] shared
+    F = slots0.shape[0]
+    dtype = window_b.imu.q.dtype
+    B = window_b.imu.q.shape[0]
+    with_lm = fam0.has_landmark()
+
+    # ---- gathers as GEMMs: oh [F, C] @ table [C, B*width]
+    gathered = []
+    mask_b = jnp.broadcast_to(fam_b.active, (B, F)).astype(dtype)
+    for b, k in enumerate(blocks):
+        table = _state_table(window_b, k)    # [B, C, w]
+        C, w = table.shape[1], table.shape[2]
+        oh = jax.nn.one_hot(slots0[:, b], C, dtype=dtype)  # [F, C] shared
+        flat = table.transpose(1, 0, 2).reshape(C, B * w)
+        g = (oh @ flat).reshape(F, B, w).transpose(1, 0, 2)  # [B, F, w]
+        gathered.append(_split_state(k, g))
+        act = _active_of(window_b, k).astype(dtype)          # [B, C]
+        mask_b = mask_b * jnp.einsum("fc,bc->bf", oh, act)
+
+    used = cls.USED_COLS
+    Dl = fam0.local_dof()
+    if used is not None:
+        expand_np = np.zeros((len(used), Dl), np.float64)
+        expand_np[np.arange(len(used)), list(used)] = 1.0
+        expand = jnp.asarray(expand_np, dtype)
+    else:
+        expand = None
+
+    params = fam_b.params()                  # [B, F, ...] leaves
+
+    if cls.HAS_ANALYTIC and fc.analytic_jacobians_enabled():
+        rj = jax.vmap(jax.vmap(fam0.residual_and_jacobian_used))
+        r, J = rj(gathered, params)
+    else:
+        def res_one(delta, gathered_one, params_one):
+            if expand is not None:
+                delta = delta @ expand
+            deltas = fam0._split_delta(delta)
+            retr = [fc._retract_block(k, g, d)
+                    for k, g, d in zip(blocks, gathered_one, deltas)]
+            return fam0.residual(retr, params_one)
+
+        zeros = jnp.zeros((B, F, len(used) if used is not None else Dl),
+                          dtype)
+        r = jax.vmap(jax.vmap(res_one))(zeros, gathered, params)
+        J = jax.vmap(jax.vmap(jax.jacfwd(res_one, argnums=0)))(
+            zeros, gathered, params)
+    if expand is not None:
+        J = jnp.einsum("bfru,ud->bfrd", J, expand)
+
+    r = r * mask_b[:, :, None]
+    J = J * mask_b[:, :, None, None]
+
+    if with_lm:
+        J_lm = J[..., Dl - LANDMARK_DOF:]
+        J = J[..., : Dl - LANDMARK_DOF]
+        lm_slot = slots0[:, len(blocks) - 1]
+    else:
+        J_lm, lm_slot = None, None
+    return r, J, lm_slot, J_lm
+
+
+def assemble_shared(
+    window_b: WindowState,
+    families_b: Sequence,
+    losses: Tuple[Optional[float], ...],
+):
+    """Batched blocks assembly with shared topology. Identical output
+    contract to gn.assemble_normal_equations with a leading batch axis:
+    (H [B,D+1,D+1], g [B,D+1], H_ll [B,L,3,3], g_l [B,L,3],
+    W [B,D+1,L·3], cost [B])."""
+    D = window_b.imu.q.shape[1] * IMU_DOF \
+        + window_b.extrinsics.q.shape[1] * POSE_DOF \
+        + window_b.motion.w.shape[1] * MOTION_DOF
+    B = window_b.imu.q.shape[0]
+    K = window_b.imu.q.shape[1]
+    E = window_b.extrinsics.q.shape[1]
+    M = window_b.motion.w.shape[1]
+    L = window_b.landmarks.pt.shape[1]
+    dtype = window_b.imu.q.dtype
+
+    KINDS = (fc.BLOCK_IMU, fc.BLOCK_EXTRINSIC, fc.BLOCK_MOTION)
+    CAP = {fc.BLOCK_IMU: K, fc.BLOCK_EXTRINSIC: E, fc.BLOCK_MOTION: M}
+    DOF = {fc.BLOCK_IMU: IMU_DOF, fc.BLOCK_EXTRINSIC: POSE_DOF,
+           fc.BLOCK_MOTION: MOTION_DOF}
+    ROFF = {fc.BLOCK_IMU: 0, fc.BLOCK_EXTRINSIC: K * IMU_DOF,
+            fc.BLOCK_MOTION: K * IMU_DOF + E * POSE_DOF}
+    ORD = {k: i for i, k in enumerate(KINDS)}
+
+    A = {}
+    Adiag = {}
+    g_reg = {k: jnp.zeros((B, CAP[k], DOF[k]), dtype) for k in KINDS}
+    H_ll = jnp.zeros((B, L, 3, 3), dtype)
+    g_l = jnp.zeros((B, L, 3), dtype)
+    W_rows = {}
+    cost = jnp.zeros((B,), dtype)
+
+    for fam_b, loss in zip(families_b, losses):
+        fam0 = _first(fam_b)
+        r, J, lm_slot, J_lm = linearize_shared(fam_b, window_b)
+        F = r.shape[1]
+        s = jnp.sum(r * r, axis=-1)                      # [B, F]
+        w, rho = gn.robust_weight(s, loss)
+        cost = cost + 0.5 * jnp.sum(rho, axis=-1)
+        sw = jnp.sqrt(w)
+        r = r * sw[:, :, None]
+        J = J * sw[:, :, None, None]
+
+        P = gn._gram(J)                                  # [B, F, Dl, Dl]
+        q = gn._jtr(J, r)                                # [B, F, Dl]
+
+        blocks = [k for k in type(fam0).BLOCKS if k != fc.BLOCK_LANDMARK]
+        offs, o = [], 0
+        for k in blocks:
+            offs.append(o)
+            o += fc.block_dof(k)
+        groups = {}
+        for b, k in enumerate(blocks):
+            groups.setdefault(k, []).append((b, offs[b]))
+
+        def _cols(kind):
+            return np.concatenate([np.arange(off, off + DOF[kind])
+                                   for _, off in groups[kind]])
+
+        def _slots(kind):
+            bs = [b for b, _ in groups[kind]]
+            return fam0.slots[:, bs]                     # [F, n] shared
+
+        # gradient: one GEMM per kind with B folded into N
+        for kind in groups:
+            n = len(groups[kind])
+            d = DOF[kind]
+            qg = jnp.take(q, _cols(kind), axis=2).reshape(B, F * n, d)
+            oh = jax.nn.one_hot(_slots(kind).reshape(-1), CAP[kind],
+                                dtype=dtype)             # [F·n, C] shared
+            g_reg[kind] = g_reg[kind] - jnp.einsum("xc,bxd->bcd", oh, qg)
+
+        # Hessian regions: shared (pair) one-hots, B in the GEMM N dim
+        for k1 in groups:
+            for k2 in groups:
+                if ORD[k2] < ORD[k1]:
+                    continue
+                n1, n2 = len(groups[k1]), len(groups[k2])
+                d1, d2 = DOF[k1], DOF[k2]
+                c1, c2 = _cols(k1), _cols(k2)
+                Ps = jnp.take(jnp.take(P, c1, axis=2), c2, axis=3)
+                Ps = Ps.reshape(B, F, n1, d1, n2, d2)
+                if k1 == k2 and n1 == 1:
+                    oh = jax.nn.one_hot(_slots(k1)[:, 0], CAP[k1],
+                                        dtype=dtype)     # [F, C]
+                    contrib = jnp.einsum(
+                        "fc,bfde->bcde", oh, Ps.reshape(B, F, d1, d2))
+                    Adiag[k1] = Adiag.get(
+                        k1, jnp.zeros((B, CAP[k1], d1, d1), dtype)) + contrib
+                    continue
+                Ps = Ps.transpose(0, 1, 2, 4, 3, 5).reshape(
+                    B, F * n1 * n2, d1 * d2)
+                S1, S2 = _slots(k1), _slots(k2)
+                pair = (S1[:, :, None] * CAP[k2]
+                        + S2[:, None, :]).reshape(-1)    # [F·n1·n2] shared
+                oh = jax.nn.one_hot(pair, CAP[k1] * CAP[k2], dtype=dtype)
+                contrib = jnp.einsum("xp,bxe->bpe", oh, Ps).reshape(
+                    B, CAP[k1], CAP[k2], d1, d2).transpose(0, 1, 3, 2, 4)
+                key = (k1, k2)
+                A[key] = A.get(key, jnp.zeros(
+                    (B, CAP[k1], d1, CAP[k2], d2), dtype)) + contrib
+
+        # landmark system + pose-landmark coupling
+        if lm_slot is not None:
+            J_lm = J_lm * sw[:, :, None, None]
+            oh_lm = jax.nn.one_hot(lm_slot, L, dtype=dtype)   # [F, L] shared
+            Hll_f = gn._gram(J_lm)
+            H_ll = H_ll + jnp.einsum("fl,bfij->blij", oh_lm, Hll_f)
+            gl_f = gn._jtr(J_lm, r)
+            g_l = g_l - jnp.einsum("fl,bfi->bli", oh_lm, gl_f)
+            Cr = gn._cross(J, J_lm)                           # [B,F,Dd,3]
+            for kind in groups:
+                n = len(groups[kind])
+                d = DOF[kind]
+                C = CAP[kind]
+                Cg = jnp.take(Cr, _cols(kind), axis=2).reshape(
+                    B, F, n, d * LANDMARK_DOF).transpose(0, 2, 1, 3).reshape(
+                    B, n * F, d * LANDMARK_DOF)
+                # shared (slot, landmark) pair one-hot [n·F, C·L]: the GEMM
+                # [C·L, n·F] @ [n·F, B·d·3] scatters every coupling block in
+                # one MXU pass; construction is loop-invariant across LM
+                # iterations (XLA hoists it out of the scan)
+                oh_c = jax.nn.one_hot(
+                    _slots(kind).T.reshape(-1), C, dtype=dtype)  # [n·F, C]
+                oh_l = jnp.tile(oh_lm, (n, 1))                   # [n·F, L]
+                pair = (oh_c[:, :, None] * oh_l[:, None, :]).reshape(
+                    n * F, C * L)
+                Wk = jnp.einsum("xm,bxd->bmd", pair, Cg).reshape(
+                    B, C, L, d, LANDMARK_DOF).transpose(0, 1, 3, 2, 4)
+                Wk = Wk.reshape(B, C * d, L * LANDMARK_DOF)
+                W_rows[kind] = W_rows.get(kind, jnp.zeros(
+                    (B, C * d, L * LANDMARK_DOF), dtype)) + Wk
+
+    # dense assembly from region accumulators
+    H = jnp.zeros((B, D + 1, D + 1), dtype)
+    for (k1, k2), Areg in A.items():
+        o1, o2 = ROFF[k1], ROFF[k2]
+        n1 = CAP[k1] * DOF[k1]
+        n2 = CAP[k2] * DOF[k2]
+        mat = Areg.reshape(B, n1, n2)
+        H = H.at[:, o1:o1 + n1, o2:o2 + n2].add(mat)
+        if k1 != k2:
+            H = H.at[:, o2:o2 + n2, o1:o1 + n1].add(
+                jnp.swapaxes(mat, 1, 2))
+    for kind, Dk in Adiag.items():
+        C, d = CAP[kind], DOF[kind]
+        o = ROFF[kind]
+        eyeC = jnp.eye(C, dtype=dtype)
+        full = (Dk[:, :, :, None, :] * eyeC[None, :, None, :, None]).reshape(
+            B, C * d, C * d)
+        H = H.at[:, o:o + C * d, o:o + C * d].add(full)
+
+    g = jnp.zeros((B, D + 1), dtype)
+    o = 0
+    for kind in KINDS:
+        n = CAP[kind] * DOF[kind]
+        g = g.at[:, o:o + n].set(g_reg[kind].reshape(B, -1))
+        o += n
+
+    W = jnp.zeros((B, D + 1, L * LANDMARK_DOF), dtype)
+    for kind, Wk in W_rows.items():
+        o = ROFF[kind]
+        W = W.at[:, o:o + Wk.shape[1], :].add(Wk)
+    return H, g, H_ll, g_l, W, cost
+
+
+def _bcast(flag: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast a [B] flag against a [B, ...] array."""
+    return flag.reshape(flag.shape + (1,) * (like.ndim - 1))
+
+
+def lm_loop_batched(window_b: WindowState, assemble, n_iter,
+                    options: gn.SolverOptions):
+    """Batched LM: per-window damping / accept / convergence latch. Mirrors
+    gn.lm_loop with [B]-shaped scalars."""
+    B = window_b.imu.q.shape[0]
+    dtype = window_b.imu.q.dtype
+    free = jax.vmap(
+        lambda w: jnp.concatenate([w.dense_free_mask(),
+                                   jnp.zeros((1,), bool)]))(window_b)
+    lm_free = window_b.landmarks.active & ~window_b.landmarks.held
+
+    solve_damped = jax.vmap(gn._solve_damped)
+
+    H0, g0, H_ll0, g_l0, W0, init_cost = assemble(window_b)
+
+    def step(carry, _):
+        win, (H, g, H_ll, g_l, W), lam, cost, done, iters, attempt = carry
+        active = ~done & (attempt < n_iter)
+        delta, delta_l, ok = solve_damped(H, g, free, lam, H_ll, g_l, W,
+                                          lm_free)
+        trial = jax.vmap(
+            lambda w, d, dl: w.retract_dense(d[:-1]).replace(
+                landmarks=w.landmarks.retract(dl)))(win, delta, delta_l)
+        H_t, g_t, H_ll_t, g_l_t, W_t, new_cost = assemble(trial)
+        accept = ok & (new_cost < cost) & active
+        win = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(_bcast(accept, a), b, a), win, trial)
+        eqs = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(_bcast(accept, a), b, a),
+            (H, g, H_ll, g_l, W), (H_t, g_t, H_ll_t, g_l_t, W_t))
+        rel_drop = (cost - new_cost) / jnp.maximum(cost, 1e-20)
+        done = done | (accept & (rel_drop < options.function_tolerance))
+        lam = jnp.where(
+            ~active | done, lam,
+            jnp.where(accept, jnp.maximum(lam * 0.5, options.min_lambda),
+                      jnp.minimum(lam * 4.0, options.max_lambda)))
+        cost = jnp.where(accept, new_cost, cost)
+        iters = iters + accept.astype(jnp.int32)
+        return (win, eqs, lam, cost, done, iters, attempt + 1), None
+
+    lam0 = jnp.full((B,), options.initial_lambda, dtype)
+    carry0 = (window_b, (H0, g0, H_ll0, g_l0, W0), lam0, init_cost,
+              jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32),
+              jnp.zeros((), jnp.int32))
+    if options.early_exit:
+        def cond(carry):
+            _, _, _, _, done, _, attempt = carry
+            return (~jnp.all(done)) & (attempt < n_iter)
+
+        (window_b, _, lam, cost, done, iters, _) = jax.lax.while_loop(
+            cond, lambda c: step(c, None)[0], carry0)
+    else:
+        (window_b, _, lam, cost, done, iters, _), _ = jax.lax.scan(
+            step, carry0, None, length=options.scan_length, unroll=1)
+    diag = gn.SolveDiagnostics(
+        initial_cost=init_cost, final_cost=cost, iterations=iters,
+        converged=done, final_lambda=lam)
+    return window_b, diag
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _solve_shared_impl(window_b, families_b, losses,
+                       options: gn.SolverOptions, n_iter):
+    return lm_loop_batched(
+        window_b, lambda w: assemble_shared(w, families_b, losses),
+        n_iter, options)
+
+
+def solve_batched_shared(window_b: WindowState, families_b,
+                         losses: Tuple[Optional[float], ...],
+                         options: gn.SolverOptions = gn.SolverOptions(),
+                         check: bool = False):
+    """Batched LM over B same-topology windows. ``check=True`` validates the
+    shared-topology contract on host (requires concrete arrays)."""
+    if check:
+        assert_shared_topology(families_b)
+    sl = options.scan_length or options.max_iterations
+    n_iter = jnp.asarray(min(options.max_iterations, sl), jnp.int32)
+    static = options._replace(max_iterations=0, scan_length=sl)
+    return _solve_shared_impl(window_b, families_b, losses, static, n_iter)

@@ -41,8 +41,33 @@ from beam_slam_tpu.core.window import LANDMARK_DOF, WindowState
 # op per LM iteration). The damped blocks are floored well away from
 # singularity (see _solve_damped), so the adjugate form is safe.
 from beam_slam_tpu.ops.mat3 import inv3x3 as _inv3x3
+from beam_slam_tpu.ops import smallmat as _sm
 
 _DIAG_EPS = 1e-12
+
+
+def _gram(J: jnp.ndarray) -> jnp.ndarray:
+    """Per-factor JᵀJ ([..., R, D] → [..., D, D]). For tiny residual dims the
+    batched-dot lowering pads every factor's [D,R]@[R,D] to MXU tiles (GBs of
+    pure padding traffic on the visual families — see ops/smallmat.py);
+    broadcast-mul-reduce keeps it elementwise. Larger R goes to the MXU."""
+    if J.shape[-2] <= 4:
+        return _sm.gram_r(J)
+    return jnp.einsum("...ri,...rj->...ij", J, J)
+
+
+def _jtr(J: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """Per-factor Jᵀr ([..., R, D], [..., R] → [..., D])."""
+    if J.shape[-2] <= 4:
+        return _sm.jtr(J, r)
+    return jnp.einsum("...ri,...r->...i", J, r)
+
+
+def _cross(Ja: jnp.ndarray, Jb: jnp.ndarray) -> jnp.ndarray:
+    """Per-factor JaᵀJb ([...,R,Da], [...,R,Db] → [..., Da, Db])."""
+    if Ja.shape[-2] <= 4:
+        return _sm.cross_r(Ja, Jb)
+    return jnp.einsum("...rd,...rc->...dc", Ja, Jb)
 
 
 class SolverOptions(NamedTuple):
@@ -135,20 +160,16 @@ def assemble_normal_equations(
         r = r * sw[:, None]
         J = J * sw[:, None, None]
         # g -= Jᵀ r  (scatter over local columns)
-        g = g.at[col].add(-jnp.einsum("fri,fr->fi", J, r))
+        g = g.at[col].add(-_jtr(J, r))
         # H += Jᵀ J  (scatter [Dd, Dd] blocks)
-        H = H.at[col[:, :, None], col[:, None, :]].add(
-            jnp.einsum("fri,frj->fij", J, J)
-        )
+        H = H.at[col[:, :, None], col[:, None, :]].add(_gram(J))
         if lm_slot is not None:
             J_lm = J_lm * sw[:, None, None]
-            H_ll = H_ll.at[lm_slot].add(jnp.einsum("fri,frj->fij", J_lm, J_lm))
-            g_l = g_l.at[lm_slot].add(-jnp.einsum("fri,fr->fi", J_lm, r))
+            H_ll = H_ll.at[lm_slot].add(_gram(J_lm))
+            g_l = g_l.at[lm_slot].add(-_jtr(J_lm, r))
             lm_cols = (lm_slot[:, None] * LANDMARK_DOF
                        + jnp.arange(LANDMARK_DOF, dtype=jnp.int32)[None, :])
-            W = W.at[col[:, :, None], lm_cols[:, None, :]].add(
-                jnp.einsum("fri,frj->fij", J, J_lm)
-            )
+            W = W.at[col[:, :, None], lm_cols[:, None, :]].add(_cross(J, J_lm))
     return H, g, H_ll, g_l, W, cost
 
 
@@ -236,13 +257,13 @@ def assemble_normal_equations_dense(
             # Pose-landmark coupling without materializing [F,R,L·3]:
             # contract the residual axis per factor first (each factor
             # touches exactly ONE landmark), then one small ohᵀ matmul.
-            Cr = jnp.einsum("frd,frk->fdk", row.reshape(F, R, D), J_lm)
+            Cr = _cross(row.reshape(F, R, D), J_lm)
             W_fam = jnp.einsum("lf,fdk->dlk", oh_lm.T,
                                Cr).reshape(D, L * LANDMARK_DOF)
             Jlm_rows.append(W_fam)
-            Hll_f = jnp.einsum("fri,frj->fij", J_lm, J_lm)
+            Hll_f = _gram(J_lm)
             H_ll = H_ll + jnp.einsum("lf,fij->lij", oh_lm.T, Hll_f)
-            gl_f = jnp.einsum("fri,fr->fi", J_lm, r)
+            gl_f = _jtr(J_lm, r)
             g_l = g_l - jnp.einsum("lf,fi->li", oh_lm.T, gl_f)
 
     J_all = jnp.concatenate(J_rows, axis=0)
@@ -327,8 +348,8 @@ def assemble_normal_equations_blocks(
         r = r * sw[:, None]
         J = J * sw[:, None, None]
 
-        P = jnp.einsum("fri,frj->fij", J, J)      # [F, Dl, Dl]
-        q = jnp.einsum("fri,fr->fi", J, r)        # [F, Dl]
+        P = _gram(J)                              # [F, Dl, Dl]
+        q = _jtr(J, r)                            # [F, Dl]
 
         # dense blocks grouped by kind: kind -> (block indices, local offs)
         blocks = [k for k in type(fam).BLOCKS if k != fc.BLOCK_LANDMARK]
@@ -396,11 +417,11 @@ def assemble_normal_equations_blocks(
         if lm_slot is not None:
             J_lm = J_lm * sw[:, None, None]
             oh_lm = jax.nn.one_hot(lm_slot, L, dtype=dtype)    # [F, L]
-            Hll_f = jnp.einsum("fri,frj->fij", J_lm, J_lm)
+            Hll_f = _gram(J_lm)
             H_ll = H_ll + jnp.einsum("lf,fij->lij", oh_lm.T, Hll_f)
-            gl_f = jnp.einsum("fri,fr->fi", J_lm, r)
+            gl_f = _jtr(J_lm, r)
             g_l = g_l - jnp.einsum("lf,fi->li", oh_lm.T, gl_f)
-            Cr = jnp.einsum("frd,frc->fdc", J, J_lm)           # [F, Dl, 3]
+            Cr = _cross(J, J_lm)                               # [F, Dl, 3]
             for kind in groups:
                 n = len(groups[kind])
                 d = DOF[kind]

@@ -39,7 +39,7 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def run_session(mode: str, duration_s: float, runtime: str,
-                lag_s: float, max_states: int):
+                lag_s: float, max_states: int, pipelined: bool = True):
     from beam_slam_tpu.models.slam_initialization import InitParams
     from beam_slam_tpu.pipeline.config import (CalibrationConfig,
                                                LocalMapperConfig)
@@ -58,6 +58,10 @@ def run_session(mode: str, duration_s: float, runtime: str,
         mode=mode, lag_duration=lag_s, max_states=max_states,
         max_landmarks=256, max_reprojection_factors=4096,
         max_iterations=8,
+        # device-resident registration map + 1-deep async pipeline: zero
+        # blocking host<->device round trips per scan (the round-3 session
+        # profile was dominated by the ~260 ms host-map lidar tick)
+        pipelined_registration=pipelined,
         # double-buffered solve: ticks dispatch without blocking (the
         # reference's optimizer-thread overlap)
         async_solve=(runtime != "sync_blocking"),
@@ -181,12 +185,14 @@ def main():
                     choices=["threaded", "sync", "sync_blocking"])
     ap.add_argument("--lag", type=float, default=4.0)
     ap.add_argument("--max-states", type=int, default=64)
+    ap.add_argument("--pipelined", type=int, default=1,
+                    help="device-resident pipelined scan registration")
     ap.add_argument("--out", default=None,
                     help="append a markdown row to this file")
     args = ap.parse_args()
 
     r = run_session(args.mode, args.duration, args.runtime, args.lag,
-                    args.max_states)
+                    args.max_states, pipelined=bool(args.pipelined))
     print(json.dumps(r, indent=2))
     if args.out:
         exists = os.path.exists(args.out)
