@@ -30,8 +30,11 @@ from beam_slam_tpu.utils.evaluation import ate_rmse
 from beam_slam_tpu.vision.camera import PinholeRadtan
 
 CAM = PinholeRadtan(400.0, 400.0, 320.0, 240.0)
-Q_BC = np.asarray(lie.matrix_to_quat(jnp.asarray(
-    [[0, 0, 1], [-1, 0, 0], [0, -1, 0]], jnp.float32)))
+# host numpy math (lie is numpy-dual): a module-level jnp op would dispatch
+# an eager device computation AT IMPORT TIME — on the remote-TPU backend
+# that is a tunnel round trip that can stall for minutes under contention
+Q_BC = np.asarray(lie.matrix_to_quat(np.asarray(
+    [[0, 0, 1], [-1, 0, 0], [0, -1, 0]], np.float32)))
 P_BC = np.asarray([0.1, 0.0, 0.05], np.float32)
 Q_BL = np.array([1, 0, 0, 0], np.float32)
 P_BL = np.asarray([0.05, 0.0, -0.08], np.float32)
@@ -147,7 +150,8 @@ def run_synthetic_session(mode: str = "LVIO", duration_s: float = 20.0,
                           max_states: int = 64, max_iterations: int = 8,
                           seed: int = 11,
                           scene=None, on_tick=None,
-                          true_landmarks_out=None) -> SessionResult:
+                          true_landmarks_out=None,
+                          config_tweak=None) -> SessionResult:
     """One full pipeline session at the given envelope. ``mode`` selects
     which sensors feed the local mapper (LIO: no camera; VIO: no lidar after
     init — init still uses FRAMEINIT/LIDAR as configured; LVIO: all).
@@ -194,6 +198,8 @@ def run_synthetic_session(mode: str = "LVIO", duration_s: float = 20.0,
             p_baselink_cam=P_BC if use_cam else None,
             q_baselink_lidar=Q_BL, p_baselink_lidar=P_BL,
             imu_hz=imu_hz, camera_hz=cam_hz, lidar_hz=lidar_hz))
+    if config_tweak is not None:
+        config_tweak(cfg)  # controlled-experiment hook (diagnose_lvio.py)
     mapper = LocalMapper(cfg)
 
     def scan_from_pose(q_wb, p_wb):

@@ -108,14 +108,18 @@ def _active_of(window_b: WindowState, kind: str) -> jnp.ndarray:
     raise ValueError(kind)
 
 
-def linearize_shared(fam_b, window_b: WindowState):
+def linearize_shared(fam_b, window_b: WindowState, template=None):
     """Batched linearize with shared topology: one-hot GEMM gathers instead
     of B looped gathers. Returns (r [B,F,R], J [B,F,R,Dd], lm_slot [F]|None,
-    J_lm [B,F,R,3]|None) — whitened and pre-masked like
-    FactorBatch.linearize."""
+    J_lm [B,F,R,3]|None, mask [B,F]) — whitened but NOT masked; the caller
+    multiplies mask into its robust-weight scaling pass.
+
+    ``template``: optional unbatched family supplying the shared slots —
+    pass a closure constant when calling under lax.map so the one-hot
+    construction is loop-invariant and hoisted."""
     cls = type(fam_b)
     blocks = cls.BLOCKS
-    fam0 = _first(fam_b)
+    fam0 = template if template is not None else _first(fam_b)
     slots0 = fam0.slots                      # [F, nb] shared
     F = slots0.shape[0]
     dtype = window_b.imu.q.dtype
@@ -166,22 +170,23 @@ def linearize_shared(fam_b, window_b: WindowState):
     if expand is not None:
         J = jnp.einsum("bfru,ud->bfrd", J, expand)
 
-    r = r * mask_b[:, :, None]
-    J = J * mask_b[:, :, None, None]
-
     if with_lm:
         J_lm = J[..., Dl - LANDMARK_DOF:]
         J = J[..., : Dl - LANDMARK_DOF]
         lm_slot = slots0[:, len(blocks) - 1]
     else:
         J_lm, lm_slot = None, None
-    return r, J, lm_slot, J_lm
+    # r/J returned RAW + mask: the caller folds mask and the robust-loss
+    # weight into ONE scaling pass over J (each extra pass over the
+    # [B,F,R,D] tensors is ~100 MB of HBM traffic on the flagship batch)
+    return r, J, lm_slot, J_lm, mask_b
 
 
 def assemble_shared(
     window_b: WindowState,
     families_b: Sequence,
     losses: Tuple[Optional[float], ...],
+    templates: Optional[Sequence] = None,
 ):
     """Batched blocks assembly with shared topology. Identical output
     contract to gn.assemble_normal_equations with a leading batch axis:
@@ -213,14 +218,18 @@ def assemble_shared(
     W_rows = {}
     cost = jnp.zeros((B,), dtype)
 
-    for fam_b, loss in zip(families_b, losses):
-        fam0 = _first(fam_b)
-        r, J, lm_slot, J_lm = linearize_shared(fam_b, window_b)
+    if templates is None:
+        templates = [None] * len(tuple(families_b))
+    for fam_b, loss, tmpl in zip(families_b, losses, templates):
+        fam0 = tmpl if tmpl is not None else _first(fam_b)
+        r, J, lm_slot, J_lm, mask = linearize_shared(fam_b, window_b,
+                                                     template=tmpl)
         F = r.shape[1]
-        s = jnp.sum(r * r, axis=-1)                      # [B, F]
+        s_raw = jnp.sum(r * r, axis=-1)                  # [B, F]
+        s = jnp.where(mask > 0, s_raw, 0.0)
         w, rho = gn.robust_weight(s, loss)
         cost = cost + 0.5 * jnp.sum(rho, axis=-1)
-        sw = jnp.sqrt(w)
+        sw = jnp.sqrt(w) * mask
         r = r * sw[:, :, None]
         J = J * sw[:, :, None, None]
 
@@ -352,6 +361,38 @@ def _bcast(flag: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
     return flag.reshape(flag.shape + (1,) * (like.ndim - 1))
 
 
+def assemble_shared_chunked(window_b: WindowState, families_b, losses,
+                            chunk: int = 8):
+    """assemble_shared over batch chunks of ``chunk`` via lax.map.
+
+    Measured cliff (tools/profile_batched.py): at B=8 the big per-factor
+    intermediates ([B,F,D,D] Grams etc.) fit in VMEM and fuse — ~0.9 ms per
+    assembly; at B=32 they spill to HBM and the same assembly costs ~13 ms
+    (cost_analysis: bytes scale linearly, time does not). Chunking keeps
+    every chunk in the fused VMEM regime; the chunks run sequentially but
+    each at the fast rate, and chunk-invariant tensors (the shared one-hot
+    matrices) are hoisted out of the loop by XLA."""
+    B = window_b.imu.q.shape[0]
+    if chunk >= B or B % chunk != 0:
+        return assemble_shared(window_b, families_b, losses)
+
+    # shared-slot templates as closure constants: their one-hot matrices
+    # become loop-invariant operands of the map body and are hoisted
+    templates = tuple(_first(f) for f in families_b)
+
+    def body(args):
+        w, f = args
+        return assemble_shared(w, f, losses, templates=templates)
+
+    def split(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((B // chunk, chunk) + x.shape[1:]), tree)
+
+    out = jax.lax.map(body, (split(window_b), split(tuple(families_b))))
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((B,) + x.shape[2:]), out)
+
+
 def lm_loop_batched(window_b: WindowState, assemble, n_iter,
                     options: gn.SolverOptions):
     """Batched LM: per-window damping / accept / convergence latch. Mirrors
@@ -412,23 +453,27 @@ def lm_loop_batched(window_b: WindowState, assemble, n_iter,
     return window_b, diag
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 5))
 def _solve_shared_impl(window_b, families_b, losses,
-                       options: gn.SolverOptions, n_iter):
+                       options: gn.SolverOptions, n_iter, asm_chunk: int):
     return lm_loop_batched(
-        window_b, lambda w: assemble_shared(w, families_b, losses),
+        window_b,
+        lambda w: assemble_shared_chunked(w, families_b, losses,
+                                          chunk=asm_chunk),
         n_iter, options)
 
 
 def solve_batched_shared(window_b: WindowState, families_b,
                          losses: Tuple[Optional[float], ...],
                          options: gn.SolverOptions = gn.SolverOptions(),
-                         check: bool = False):
+                         check: bool = False, asm_chunk: int = 8):
     """Batched LM over B same-topology windows. ``check=True`` validates the
-    shared-topology contract on host (requires concrete arrays)."""
+    shared-topology contract on host (requires concrete arrays).
+    ``asm_chunk``: assembly batch-chunk size (see assemble_shared_chunked)."""
     if check:
         assert_shared_topology(families_b)
     sl = options.scan_length or options.max_iterations
     n_iter = jnp.asarray(min(options.max_iterations, sl), jnp.int32)
     static = options._replace(max_iterations=0, scan_length=sl)
-    return _solve_shared_impl(window_b, families_b, losses, static, n_iter)
+    return _solve_shared_impl(window_b, families_b, losses, static, n_iter,
+                              asm_chunk)

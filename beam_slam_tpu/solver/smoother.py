@@ -1404,6 +1404,13 @@ class FixedLagSmoother:
             self._async_skipped = 0
             self._harvest(out, diag, snapshot)
             harvested = diag
+            # notify fan-out (fixed_lag_smoother.cpp:308) — the sync path
+            # runs this after every solve; skipping it in async mode left
+            # the IMU odometry without graph rebasing and the lidar model
+            # without scan-pose updates, so seeds dead-reckoned and the
+            # session ATE degraded ~40x (round-3's 133 cm TPU session).
+            for cb in self._on_update:
+                cb(self)
         if not self._pending and not self.slot_of_stamp:
             return harvested
         self._process_queue()
@@ -1427,6 +1434,8 @@ class FixedLagSmoother:
         out, diag, snapshot = self._inflight
         jax.block_until_ready(out)
         self._harvest(out, diag, snapshot)
+        for cb in self._on_update:
+            cb(self)
         return diag
 
     def _harvest(self, out: WindowState, diag, snapshot):

@@ -366,3 +366,64 @@ def test_reduced_tangent_linearization_matches_full_autodiff():
             np.testing.assert_allclose(
                 np.asarray(x), np.asarray(y), atol=1e-6,
                 err_msg=f"{type(fam).__name__}.{name}")
+
+
+def test_f64_oracle_bounds_f32_divergence():
+    """f64 solver oracle (round-3 verdict missing #3): run the IDENTICAL
+    flagship LVIO factor set through the same LM solve in float64 (the
+    reference's Ceres runs f64 throughout,
+    bs_optimizers/src/fixed_lag_smoother.cpp:281) and assert the f32 result
+    stays within a stated bound of it.
+
+    The bound documented here (and referenced by the precision policy in
+    beam_slam_tpu/__init__.py) is:
+      * final cost within 0.3% relative,
+      * final positions within 1 mm,
+      * final orientations within 0.2 mrad.
+    On TPU, matmul_precision="high" (bf16x6 passes) reproduces f32 matmuls
+    to ~2e-5 relative, so the same bound transfers to the chip.
+    """
+    import jax
+
+    from beam_slam_tpu.utils import synthetic
+
+    options = gn.SolverOptions(max_iterations=12, scan_length=12)
+    losses = (None, None, 1.0, 2.0, 2.0)
+
+    with jax.enable_x64():
+        window64, families64, _ = synthetic.build_lvio_window(
+            jax.random.PRNGKey(7), n_kf=10, kf_dt=0.25, rate_hz=50.0,
+            with_vision=True, n_landmarks=32, obs_per_lm=4, n_idp=8,
+            dtype=jnp.float64)
+        out64, diag64 = jax.jit(
+            lambda w, f: gn.solve(w, f, losses, options)
+        )(window64, families64)
+        out64 = jax.block_until_ready(out64)
+        assert out64.imu.q.dtype == jnp.float64
+
+    def to_f32(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+    window32 = to_f32(window64)
+    families32 = to_f32(families64)
+    out32, diag32 = jax.block_until_ready(jax.jit(
+        lambda w, f: gn.solve(w, f, losses, options))(window32, families32))
+    assert out32.imu.q.dtype == jnp.float32
+
+    active = np.asarray(window64.imu.active)
+    p64 = np.asarray(out64.imu.p)[active]
+    p32 = np.asarray(out32.imu.p)[active]
+    q64 = np.asarray(out64.imu.q)[active]
+    q32 = np.asarray(out32.imu.q)[active]
+
+    # stated bound: cost 0.3% rel, positions 1 mm, orientations 0.2 mrad
+    c64 = float(diag64.final_cost)
+    c32 = float(diag32.final_cost)
+    assert abs(c32 - c64) < 3e-3 * max(c64, 1e-12), (c32, c64)
+    assert np.abs(p32 - p64).max() < 1e-3, np.abs(p32 - p64).max()
+    dth = np.asarray(lie.so3_log(lie.quat_mul(
+        lie.quat_conj(jnp.asarray(q32, jnp.float32)),
+        jnp.asarray(q64, jnp.float32))))
+    assert np.abs(dth).max() < 2e-4, np.abs(dth).max()

@@ -71,6 +71,12 @@ def main():
     ap.add_argument("--sample-every", type=float, default=2.0,
                     help="seconds between full chi2/landmark samples")
     ap.add_argument("--out", default="/tmp/lvio_diag.json")
+    ap.add_argument("--lag", type=float, default=None,
+                    help="override the per-mode default lag (controlled "
+                    "experiments: e.g. LIO at the LVIO lag)")
+    ap.add_argument("--max-states", type=int, default=None)
+    ap.add_argument("--reproj-weight", type=float, default=None,
+                    help="override the reprojection information weight")
     args = ap.parse_args()
 
     from beam_slam_tpu.pipeline.sim_session import run_synthetic_session
@@ -121,12 +127,19 @@ def main():
         samples.append(row)
         print(json.dumps(row), flush=True)
 
-    lag = {"LIO": 4.0, "VIO": 7.0, "LVIO": 10.0}[args.mode]
-    max_states = {"LIO": 64, "VIO": 64, "LVIO": 128}[args.mode]
+    lag = args.lag if args.lag is not None else \
+        {"LIO": 4.0, "VIO": 7.0, "LVIO": 10.0}[args.mode]
+    max_states = args.max_states if args.max_states is not None else \
+        {"LIO": 64, "VIO": 64, "LVIO": 128}[args.mode]
+
+    def tweak(cfg):
+        if args.reproj_weight is not None:
+            cfg.vo.reprojection_info_weight = args.reproj_weight
+
     r = run_synthetic_session(
         mode=args.mode, duration_s=args.duration, lag_s=lag,
         max_states=max_states, on_tick=on_tick,
-        true_landmarks_out=lms_box)
+        true_landmarks_out=lms_box, config_tweak=tweak)
 
     # filtering vs smoothed ATE over the SAME stamps
     stamps = sorted(smoothed.keys())

@@ -107,6 +107,18 @@ def run_session(mode: str, duration_s: float, runtime: str,
               else LocalMapper(cfg))
 
     est = {}
+
+    def record(sm):
+        """Graph-update hook: record every in-window stamp's current
+        estimate (Path3DPublisher semantics). Each stamp's entry is
+        overwritten until it leaves the window, so the scored value is the
+        SMOOTHED estimate — what the reference publishes — not the seed of
+        the newest state (which in async mode is one harvest stale)."""
+        for s in sm.current_stamps():
+            est[s] = sm.get_state(s)["p"].copy()
+
+    mapper.smoother.register_on_update(record)
+
     t_half_wall = None
     frames_seen = 0
     half_frames = 0
@@ -126,11 +138,6 @@ def run_session(mode: str, duration_s: float, runtime: str,
             frames_seen += 1
             if not threaded:
                 mapper.tick()
-                if mapper.initialized:
-                    stamps = mapper.smoother.current_stamps()
-                    if stamps:
-                        st = mapper.smoother.get_state(stamps[-1])
-                        est[stamps[-1]] = st["p"].copy()
             if ev[1] >= duration_s / 2 and t_half_wall is None:
                 if threaded:
                     mapper.join()  # barrier so the half point is honest
@@ -138,14 +145,9 @@ def run_session(mode: str, duration_s: float, runtime: str,
                 half_frames = frames_seen
     if threaded:
         mapper.stop()
-        # collect the full in-window trajectory + anything recorded by the
-        # odometry log for ATE
-        for t, q, p in mapper.trajectory():
-            est[t] = np.asarray(p)
     else:
-        mapper.smoother.flush()
-        for t in mapper.smoother.current_stamps():
-            est[t] = mapper.smoother.get_state(t)["p"].copy()
+        mapper.flush()
+    record(mapper.smoother)
     wall = time.perf_counter() - t0
 
     if not mapper.initialized or len(est) < 5:
