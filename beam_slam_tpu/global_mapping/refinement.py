@@ -198,8 +198,17 @@ def _run_submap_refinement_once(global_map: GlobalMap,
         out, diags, total = sharded.distributed_refinement_step(
             mesh, windows, families, losses, params.solver)
     else:
-        out, diags = sharded.solve_batched(windows, families, losses,
-                                           params.solver)
+        # same-topology submap batches take the shared-topology batched
+        # solver (GEMM-folded gathers/scatters — solver/batched.py); mixed
+        # topologies fall back to the generic vmapped solve
+        from beam_slam_tpu.solver import batched as bsv
+        try:
+            bsv.assert_shared_topology(families)
+            out, diags = bsv.solve_batched_shared(windows, families, losses,
+                                                  params.solver)
+        except ValueError:
+            out, diags = sharded.solve_batched(windows, families, losses,
+                                               params.solver)
         total = jnp.sum(diags.final_cost)
 
     # write refined poses back into the submaps

@@ -241,3 +241,150 @@ def predict_state(delta: Delta, q_i, p_i, v_i, gravity=None):
     p_j = p_i + dt * v_i + 0.5 * dt * dt * gravity + lie.quat_rotate(q_i, delta.p)
     v_j = v_i + dt * gravity + lie.quat_rotate(q_i, delta.v)
     return q_j, p_j, v_j
+
+
+# ---------------------------------------------------------------------------
+# Host-numpy mirror — the ONLINE factor-creation path
+# ---------------------------------------------------------------------------
+
+def preintegrate_np(dt, w, a, bg, ba, noise: PreintNoise,
+                    compute_information: bool = True) -> Delta:
+    """Pure-numpy mirror of :func:`preintegrate` for the online trigger path.
+
+    A keyframe interval holds ~20-100 IMU samples; the jitted device scan
+    plus its blocking result pull cost ~250 ms per keyframe through a
+    remote-TPU tunnel (round-4 session profile: process_trigger dominated
+    the whole scan tick), while the same math on the host is microseconds —
+    the reference likewise preintegrates on CPU
+    (bs_common/src/bs_common/preintegrator.cpp). The batched/vmapped device
+    path remains for offline workloads (synthetic builders, refinement).
+
+    Parity with the device path is asserted in tests/test_preintegration.py.
+    """
+    import numpy as np
+
+    dt = np.asarray(dt, np.float64)
+    w = np.asarray(w, np.float64)
+    a = np.asarray(a, np.float64)
+    bg = np.asarray(bg, np.float64)
+    ba = np.asarray(ba, np.float64)
+    cov_w = np.asarray(noise.cov_w, np.float64)
+    cov_a = np.asarray(noise.cov_a, np.float64)
+    cov_bg_n = np.asarray(noise.cov_bg, np.float64)
+    cov_ba_n = np.asarray(noise.cov_ba, np.float64)
+
+    q = np.array([1.0, 0, 0, 0])
+    p = np.zeros(3)
+    v = np.zeros(3)
+    cov9 = np.zeros((9, 9))
+    cov_bg = np.zeros((3, 3))
+    cov_ba = np.zeros((3, 3))
+    dq_dbg = np.zeros((3, 3))
+    dp_dbg = np.zeros((3, 3))
+    dp_dba = np.zeros((3, 3))
+    dv_dbg = np.zeros((3, 3))
+    dv_dba = np.zeros((3, 3))
+    t = 0.0
+    eye3 = np.eye(3)
+
+    for i in range(len(dt)):
+        h = float(dt[i])
+        if h <= 0:
+            continue
+        wi = w[i] - bg
+        ai = a[i] - ba
+        q_full = np.asarray(lie.so3_exp_quat(wi * h))
+        q_half = np.asarray(lie.so3_exp_quat(0.5 * wi * h))
+        R_delta = np.asarray(lie.quat_to_matrix(q))
+        R_full_T = np.asarray(lie.quat_to_matrix(q_full)).T
+        skew_a = np.asarray(lie.skew(ai))
+        Jr = np.asarray(lie.so3_right_jacobian(wi * h))
+
+        A = np.eye(9)
+        A[0:3, 0:3] = R_full_T
+        A[6:9, 0:3] = -h * R_delta @ skew_a
+        A[3:6, 0:3] = -0.5 * h * h * R_delta @ skew_a
+        A[3:6, 6:9] = h * eye3
+        B = np.zeros((9, 6))
+        B[0:3, 0:3] = h * Jr
+        B[6:9, 3:6] = h * R_delta
+        B[3:6, 3:6] = 0.5 * h * h * R_delta
+        Qw = np.zeros((6, 6))
+        inv_h = 1.0 / max(h, 1e-7)
+        Qw[0:3, 0:3] = cov_w * inv_h
+        Qw[3:6, 3:6] = cov_a * inv_h
+        cov9 = A @ cov9 @ A.T + B @ Qw @ B.T
+        cov_bg = cov_bg + cov_bg_n * h
+        cov_ba = cov_ba + cov_ba_n * h
+
+        dp_dbg = dp_dbg + h * dv_dbg - 0.5 * h * h * R_delta @ skew_a @ dq_dbg
+        dp_dba = dp_dba + h * dv_dba - 0.5 * h * h * R_delta
+        dv_dbg = dv_dbg - h * R_delta @ skew_a @ dq_dbg
+        dv_dba = dv_dba - h * R_delta
+        dq_dbg = R_full_T @ dq_dbg - h * Jr
+
+        q_mid = np.asarray(lie.quat_mul(q, q_half))
+        a_mid = np.asarray(lie.quat_rotate(q_mid, ai))
+        p = p + h * v + 0.5 * h * h * a_mid
+        v = v + h * a_mid
+        q = np.asarray(lie.quat_normalize(lie.quat_mul(q, q_full)))
+        t += h
+
+    cov = np.zeros((15, 15))
+    cov[0:9, 0:9] = cov9
+    cov[9:12, 9:12] = cov_bg
+    cov[12:15, 12:15] = cov_ba
+    if compute_information:
+        sqrt_inv = sqrt_inv_cov_np(cov)
+    else:
+        sqrt_inv = np.zeros((15, 15), np.float32)
+    f32 = np.float32
+    return Delta(t=f32(t), q=q.astype(f32), p=p.astype(f32),
+                 v=v.astype(f32), cov=cov.astype(f32),
+                 sqrt_inv_cov=sqrt_inv.astype(f32),
+                 dq_dbg=dq_dbg.astype(f32), dp_dbg=dp_dbg.astype(f32),
+                 dp_dba=dp_dba.astype(f32), dv_dbg=dv_dbg.astype(f32),
+                 dv_dba=dv_dba.astype(f32))
+
+
+def sqrt_inv_cov_np(cov) -> "np.ndarray":
+    """numpy mirror of :func:`sqrt_inv_cov` (same floors and fallback)."""
+    import numpy as np
+
+    cov = np.asarray(cov, np.float64).copy()
+    if np.linalg.norm(cov[0:9, 0:9]) < COV_TOL:
+        cov[0:9, 0:9] = COV_TOL * np.eye(9)
+    if np.linalg.norm(cov[9:15, 9:15]) < BIAS_COV_TOL:
+        cov[9:15, 9:15] = BIAS_COV_TOL * np.eye(6)
+    d = np.maximum(np.diagonal(cov), 1e-30)
+    s = 1.0 / np.sqrt(d)
+    cov_s = cov * (s[:, None] * s[None, :])
+    try:
+        C = np.linalg.cholesky(cov_s)
+    except np.linalg.LinAlgError:
+        return (INVALID_INV_COV_WEIGHT * np.eye(15)).astype(np.float32)
+    import scipy.linalg as sla
+    Cinv = sla.solve_triangular(C, np.eye(15), lower=True)
+    A = Cinv * s[None, :]
+    if not np.isfinite(A).all():
+        return (INVALID_INV_COV_WEIGHT * np.eye(15)).astype(np.float32)
+    return A.astype(np.float32)
+
+
+def predict_state_np(delta: Delta, q_i, p_i, v_i):
+    """numpy mirror of :func:`predict_state`."""
+    import numpy as np
+
+    g = np.asarray([0.0, 0.0, -9.80665])
+    q_i = np.asarray(q_i, np.float64)
+    p_i = np.asarray(p_i, np.float64)
+    v_i = np.asarray(v_i, np.float64)
+    dt = float(delta.t)
+    q_j = np.asarray(lie.quat_normalize(
+        lie.quat_mul(q_i, np.asarray(delta.q, np.float64))))
+    p_j = (p_i + dt * v_i + 0.5 * dt * dt * g
+           + np.asarray(lie.quat_rotate(q_i, np.asarray(delta.p, np.float64))))
+    v_j = v_i + dt * g + np.asarray(
+        lie.quat_rotate(q_i, np.asarray(delta.v, np.float64)))
+    return (q_j.astype(np.float32), p_j.astype(np.float32),
+            v_j.astype(np.float32))

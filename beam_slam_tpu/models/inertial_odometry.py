@@ -299,18 +299,15 @@ class ImuPreintegrationModel:
         if win is None:
             return False
         dts, w, a = win
-        d = pre.preintegrate(
-            jnp.asarray(dts), jnp.asarray(w), jnp.asarray(a),
-            jnp.asarray(self.bg), jnp.asarray(self.ba), self.noise,
-            compute_information=True)
-        q_pred, p_pred, v_pred = pre.predict_state(
-            d, jnp.asarray(self.q), jnp.asarray(self.p),
-            jnp.asarray(self.v))
-        # ONE batched pull of the whole Delta + prediction: per-field
-        # np.asarray in the transaction builder was ~10 round trips per
-        # keyframe on remote backends
-        d, q_pred, p_pred, v_pred = jax.device_get(
-            (d, q_pred, p_pred, v_pred))
+        # host-numpy preintegration: ~20-100 samples per keyframe is
+        # microseconds on the host, while the jitted device scan + blocking
+        # result pull cost ~250 ms/keyframe through a remote-TPU tunnel
+        # (the round-4 session profile's dominant term; the reference also
+        # preintegrates on CPU, preintegrator.cpp)
+        d = pre.preintegrate_np(dts, w, a, self.bg, self.ba, self.noise,
+                                compute_information=True)
+        q_pred, p_pred, v_pred = pre.predict_state_np(
+            d, self.q, self.p, self.v)
 
         if not self.first_factor_sent:
             txn.add_imu_state(self.t_kf, self.q, self.p, self.v, self.bg,
@@ -426,15 +423,12 @@ class InertialOdometry:
             return False
         st_i = self.smoother.get_state(t_i)
         noise = self.model.noise
-        d_a = pre.preintegrate(jnp.asarray(dts_a), jnp.asarray(w_a),
-                               jnp.asarray(a_a), jnp.asarray(self.model.bg),
-                               jnp.asarray(self.model.ba), noise)
-        d_b = pre.preintegrate(jnp.asarray(dts_b), jnp.asarray(w_b),
-                               jnp.asarray(a_b), jnp.asarray(self.model.bg),
-                               jnp.asarray(self.model.ba), noise)
-        q_t, p_t, v_t = pre.predict_state(
-            d_a, jnp.asarray(st_i["q"]), jnp.asarray(st_i["p"]),
-            jnp.asarray(st_i["v"]))
+        d_a = pre.preintegrate_np(dts_a, w_a, a_a, self.model.bg,
+                                  self.model.ba, noise)
+        d_b = pre.preintegrate_np(dts_b, w_b, a_b, self.model.bg,
+                                  self.model.ba, noise)
+        q_t, p_t, v_t = pre.predict_state_np(
+            d_a, st_i["q"], st_i["p"], st_i["v"])
         txn = Transaction(stamp=t)
         txn.remove_imu_relative(t_i, t_j)
         txn.add_imu_state(t, np.asarray(q_t), np.asarray(p_t),

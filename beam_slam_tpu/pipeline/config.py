@@ -206,6 +206,15 @@ class LocalMapperConfig:
     # tick) — the reference's optimizer-thread overlap; essential on remote
     # device backends where blocking on the solve costs a full round trip
     async_solve: bool = False
+    # ticks to skip while a solve is in flight before block-harvesting.
+    # 0 = harvest (blocking) every tick: one tick of staleness, every tick
+    # solved — the accuracy-safe default. Through a remote-TPU tunnel
+    # is_ready() lags the actual compute, so >0 quietly downgrades to
+    # solving every (N+1)th tick.
+    async_max_skipped_ticks: int = 0
+    # pseudo-marginalization window-start prior covariance
+    # (fixed_lag_smoother.cpp:244-268 uses 1e-5)
+    marginalization_prior_cov: float = 1e-5
     init: InitParams = dataclasses.field(default_factory=InitParams)
     calibration: CalibrationConfig = dataclasses.field(
         default_factory=CalibrationConfig)
@@ -221,6 +230,8 @@ class LocalMapperConfig:
             optimization_period=self.optimization_period,
             pseudo_marginalization=self.pseudo_marginalization,
             async_solve=self.async_solve,
+            async_max_skipped_ticks=self.async_max_skipped_ticks,
+            marginalization_prior_cov=self.marginalization_prior_cov,
             max_states=self.max_states,
             max_landmarks=self.max_landmarks if use_cam else 1,
             max_reprojection_factors=(self.max_reprojection_factors

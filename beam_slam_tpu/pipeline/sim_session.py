@@ -17,6 +17,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from beam_slam_tpu.core import lie
@@ -83,64 +84,85 @@ def generate_session_events(mode: str = "LVIO", duration_s: float = 20.0,
     lms = np.stack([lx, ly, rng.uniform(-2.2, 2.2, n_lm)],
                    axis=1).astype(np.float32)
 
-    def scan_from_pose(q_wb, p_wb):
-        q_wl = lie.quat_mul(jnp.asarray(q_wb), jnp.asarray(Q_BL))
-        p_wl = jnp.asarray(p_wb) + lie.quat_rotate(jnp.asarray(q_wb),
-                                                   jnp.asarray(P_BL))
-        xyz = lie.quat_rotate(lie.quat_conj(q_wl)[None, None],
-                              scene.xyz - p_wl)
-        return scene._replace(
-            xyz=jnp.where(scene.valid[..., None], xyz, 0.0))
-
-    def camera_obs(q_wb, p_wb):
-        q_wc = lie.quat_mul(jnp.asarray(q_wb), jnp.asarray(Q_BC))
-        p_wc = jnp.asarray(p_wb) + lie.quat_rotate(jnp.asarray(q_wb),
-                                                   jnp.asarray(P_BC))
-        X_c = np.asarray(lie.quat_rotate(lie.quat_conj(q_wc)[None],
-                                         jnp.asarray(lms) - p_wc))
-        uv, valid = CAM.project(X_c)
-        uv = np.asarray(uv)
-        valid = np.asarray(valid) & (X_c[:, 2] < 12.0)
-        ids = np.nonzero(valid)[0].astype(np.int64)
-        if ids.size > 150:
-            ids = ids[np.argsort(X_c[ids, 2])[:150]]
-            ids = np.sort(ids)
-        pix = uv[ids] + rng.standard_normal(
-            (ids.size, 2)).astype(np.float32) * 0.3
-        return ids, pix.astype(np.float32)
+    def camera_obs_all(gq, gp):
+        """All frames' landmark observations in ONE batched projection
+        (eager per-frame jnp calls cost a tunnel round trip each on the
+        remote-TPU backend). Returns {frame k: (ids, pix)}."""
+        q_wc = np.asarray(lie.quat_mul(gq, Q_BC[None, :]))       # [F, 4]
+        p_wc = gp + np.asarray(lie.quat_rotate(gq, P_BC[None, :]))
+        X_c = np.asarray(lie.quat_rotate(
+            lie.quat_conj(q_wc)[:, None, :], lms[None, :, :] - p_wc[:, None, :]))
+        uv, valid = jax.device_get(CAM.project(jnp.asarray(X_c)))
+        valid = valid & (X_c[..., 2] < 12.0)
+        out = {}
+        for f in range(len(gq)):
+            ids = np.nonzero(valid[f])[0].astype(np.int64)
+            if ids.size > 150:
+                ids = ids[np.argsort(X_c[f, ids, 2])[:150]]
+                ids = np.sort(ids)
+            pix = uv[f, ids] + rng.standard_normal(
+                (ids.size, 2)).astype(np.float32) * 0.3
+            out[f] = (ids, pix.astype(np.float32))
+        return out
 
     tick_hz = cam_hz if use_cam else lidar_hz
     dt_frame = 1.0 / tick_hz
     n_frames = int(duration_s * tick_hz)
+    n_imu = max(int(imu_hz / tick_hz), 1)
+
+    # ---- ONE batched trajectory sample for the whole stream. The per-frame
+    # loop used to make 2 blocking device pulls per frame — through the
+    # remote-TPU tunnel that was ~1.3 s/frame (13 minutes of setup for a
+    # 60 s stream before the timed session even started).
+    frame_t = (np.arange(1, n_frames + 1) * dt_frame)
+    steps = (np.arange(n_imu) + 0.5) / n_imu * dt_frame
+    imu_t = (frame_t - dt_frame)[:, None] + steps[None, :]      # [F, n_imu]
+    s_all = traj.sample(jnp.asarray(imu_t.reshape(-1), jnp.float32))
+    g_all = traj.sample(jnp.asarray(frame_t, jnp.float32))
+    w_all, a_all, gq, gp = jax.device_get(
+        (s_all.w_body, s_all.a_body, g_all.q, g_all.p))
+    w_all = w_all.reshape(n_frames, n_imu, 3)
+    a_all = a_all.reshape(n_frames, n_imu, 3)
+
+    # ---- all scans in one batched transform (host numpy via numpy-dual lie)
+    scan_every = 1 if not use_cam else max(int(tick_hz / lidar_hz), 1)
+    scan_ks = [k for k in range(1, n_frames + 1)
+               if use_lidar and k % scan_every == 0]
+    scans = {}
+    if scan_ks:
+        ks = np.asarray(scan_ks) - 1
+        q_wl = np.asarray(lie.quat_mul(gq[ks], Q_BL[None, :]))
+        p_wl = gp[ks] + np.asarray(lie.quat_rotate(gq[ks], P_BL[None, :]))
+        sxyz = np.asarray(scene.xyz)
+        svalid = np.asarray(scene.valid)
+        for i, k in enumerate(scan_ks):
+            xyz = np.asarray(lie.quat_rotate(
+                lie.quat_conj(q_wl[i])[None, None], sxyz - p_wl[i]))
+            xyz = np.where(svalid[..., None], xyz, 0.0).astype(np.float32)
+            scans[k] = scene._replace(xyz=jnp.asarray(xyz))
+
+    cam_all = camera_obs_all(gq, gp) if use_cam else None
+
     events = []
-    t_prev = 0.0
     for k in range(1, n_frames + 1):
-        t = k * dt_frame
-        n_imu = max(int(imu_hz / tick_hz), 1)
-        tm = t_prev + (np.arange(n_imu) + 0.5) * (t - t_prev) / n_imu
-        s = traj.sample(jnp.asarray(tm, jnp.float32))
-        w_b, a_b = np.asarray(s.w_body), np.asarray(s.a_body)
+        t = float(frame_t[k - 1])
         for i in range(n_imu):
-            events.append(("imu", float(tm[i]), w_b[i], a_b[i]))
-        gk = traj.sample(jnp.asarray([t], jnp.float32))
-        q_gt, p_gt = gk.q[0], gk.p[0]
-        if use_lidar and (not use_cam
-                          or k % max(int(tick_hz / lidar_hz), 1) == 0):
-            events.append(("scan", round(t, 6), scan_from_pose(q_gt, p_gt)))
+            events.append(("imu", float(imu_t[k - 1, i]),
+                           w_all[k - 1, i], a_all[k - 1, i]))
+        q_gt, p_gt = gq[k - 1], gp[k - 1]
+        if k in scans:
+            events.append(("scan", round(t, 6), scans[k]))
         if not use_lidar:
-            qn = lie.quat_mul(jnp.asarray(q_gt), lie.so3_exp_quat(
-                jnp.asarray(rng.standard_normal(3).astype(np.float32)
-                            * 0.002)))
-            events.append(("pose", round(t, 6), np.asarray(qn),
-                           np.asarray(p_gt)
-                           + rng.standard_normal(3).astype(np.float32)
+            qn = np.asarray(lie.quat_mul(q_gt, np.asarray(lie.so3_exp_quat(
+                rng.standard_normal(3).astype(np.float32) * 0.002))))
+            events.append(("pose", round(t, 6), qn,
+                           p_gt + rng.standard_normal(3).astype(np.float32)
                            * 0.005))
         if use_cam:
-            ids, pix = camera_obs(q_gt, p_gt)
+            ids, pix = cam_all[k - 1]
             events.append(("cam", CameraMeasurement(round(t, 6), ids, pix,
                                                     pix)))
         events.append(("tick", t))
-        t_prev = t
     return traj, events, n_frames
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import threading
 import time
 from typing import Callable, Dict, List, Optional, Tuple
@@ -671,12 +672,20 @@ class FixedLagSmoother:
                 if int(a.slots[i, 0]) == s_i and int(a.slots[i, 1]) == s_j:
                     a.release(i)
         for st in txn.imu_states:
+            created = st.stamp not in self.slot_of_stamp
             s = self._slot_for(st.stamp, create=True)
-            self.q[s] = st.q
-            self.p[s] = st.p
-            self.v[s] = st.v
-            self.bg[s] = st.bg
-            self.ba[s] = st.ba
+            if created:
+                # initial values only for NEW states: a transaction
+                # re-adding an existing stamp (IO trigger after the lidar
+                # seed, BreakupConstraint re-add, requeued transactions)
+                # must not clobber an already-optimized estimate with its
+                # seed (fuse graph semantics: addVariable of an existing
+                # variable does not reset the optimized value)
+                self.q[s] = st.q
+                self.p[s] = st.p
+                self.v[s] = st.v
+                self.bg[s] = st.bg
+                self.ba[s] = st.ba
         for f in txn.imu_relative:
             i = self.arena_imu.alloc()
             a = self.arena_imu
@@ -1420,9 +1429,25 @@ class FixedLagSmoother:
         window, families, losses = self._build_device_problem()
         opts = self._solver_options()
         out, diag = gn.solve(window, families, losses, opts)  # async dispatch
+        # start the device->host copies NOW: by harvest time the data is
+        # already on the host and the device_get is a cache hit instead of
+        # a ~40 ms tunnel round trip (round-4 tick profile)
+        for leaf in jax.tree_util.tree_leaves((out, diag)):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
         self._inflight = (out, diag,
                           (self.state_gen.copy(), self.lm_gen.copy()))
         self.solve_count += 1
+        if os.environ.get("BEAM_SLAM_ASYNC_IMMEDIATE"):
+            # debug bisect knob: run the async code path but harvest
+            # immediately (zero staleness) — isolates result-staleness
+            # effects from async bookkeeping bugs
+            out, diag, snapshot = self._inflight
+            jax.block_until_ready(out)
+            self._harvest(out, diag, snapshot)
+            for cb in self._on_update:
+                cb(self)
+            harvested = diag
         return harvested
 
     @_locked

@@ -170,16 +170,18 @@ def main():
 
     reg_ms = _median_ms(reg_fn, perturb_first, p0)
 
-    # ---- single-chip batched throughput + MFU: vmap B independent flagship
-    # windows through the LM solve (the submap-refinement workload —
-    # bs_models/src/lib/global_mapping/submap_refinement.cpp:24-162 is
-    # embarrassingly parallel per submap). windows/s at B=8/32 is the honest
-    # MXU-utilization number; B=1 is the latency-bound real-time window.
-    from beam_slam_tpu.parallel import sharded
+    # ---- single-chip batched throughput + MFU: B independent flagship
+    # windows through the shared-topology batched LM solve (the
+    # submap-refinement workload — bs_models/src/lib/global_mapping/
+    # submap_refinement.cpp:24-162 is embarrassingly parallel per submap,
+    # with a shared factor-graph template → solver/batched.py). windows/s
+    # at B=8/32/64 is the honest MXU-utilization number; B=1 is the
+    # latency-bound real-time window.
+    from beam_slam_tpu.solver import batched as bsv
 
     throughput = {}
     mfu_extra = {}
-    for B in (1, 8, 32):
+    for B in (1, 8, 32, 64):
         keys = jax.random.split(jax.random.PRNGKey(1), B)
         wins_b, fams_b = jax.block_until_ready(
             jax.jit(jax.vmap(build))(keys))
@@ -187,7 +189,8 @@ def main():
         @jax.jit
         def chained_b(wins):
             def body(w, _):
-                out, _ = sharded.solve_batched(w, fams_b, losses, options)
+                out, _ = bsv.solve_batched_shared(w, fams_b, losses,
+                                                  options)
                 return out, None
             out, _ = jax.lax.scan(body, wins, None, length=8)
             return out
@@ -207,7 +210,7 @@ def main():
             # solve call (flops per executable / measured time / peak).
             try:
                 lowered = jax.jit(
-                    lambda w: sharded.solve_batched(
+                    lambda w: bsv.solve_batched_shared(
                         w, fams_b, losses, options)[0]).lower(wins_b)
                 ca = lowered.compile().cost_analysis()
                 if isinstance(ca, (list, tuple)):
@@ -265,6 +268,7 @@ def main():
             "windows_per_s_b1": round(throughput[1], 1),
             "windows_per_s_b8": round(throughput[8], 1),
             "windows_per_s_b32": round(throughput[32], 1),
+            "windows_per_s_b64": round(throughput[64], 1),
             **mfu_extra,
         },
     }))

@@ -77,6 +77,16 @@ def main():
     ap.add_argument("--max-states", type=int, default=None)
     ap.add_argument("--reproj-weight", type=float, default=None,
                     help="override the reprojection information weight")
+    ap.add_argument("--async-solve", action="store_true",
+                    help="double-buffered async optimizer tick (the TPU "
+                    "session runtime)")
+    ap.add_argument("--marg-cov", type=float, default=None,
+                    help="override marginalization_prior_cov")
+    ap.add_argument("--iters", type=int, default=None,
+                    help="override solver max_iterations")
+    ap.add_argument("--vo-standalone", action="store_true",
+                    help="standalone-VO mode: private visual graph, only a "
+                    "relative-pose factor to the main graph")
     args = ap.parse_args()
 
     from beam_slam_tpu.pipeline.sim_session import run_synthetic_session
@@ -135,6 +145,14 @@ def main():
     def tweak(cfg):
         if args.reproj_weight is not None:
             cfg.vo.reprojection_info_weight = args.reproj_weight
+        if args.async_solve:
+            cfg.async_solve = True
+        if args.marg_cov is not None:
+            cfg.marginalization_prior_cov = args.marg_cov
+        if args.vo_standalone:
+            cfg.vo.standalone = True
+        if args.iters is not None:
+            cfg.max_iterations = args.iters
 
     r = run_synthetic_session(
         mode=args.mode, duration_s=args.duration, lag_s=lag,
