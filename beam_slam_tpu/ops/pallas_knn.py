@@ -22,13 +22,17 @@ correspondence gating (max_corr_dist) rejects sentinel hits.
 CPU fallback: ``backend="xla"`` is the reference path; tests assert
 agreement via ``interpret=True``.
 
-Measured on one TPU chip (Q=2112, R=21120, k=10): pallas 10.6 ms vs XLA
-matmul+top_k 6.4 ms — the exact per-block k-pass extraction is
-compute-bound (k·Q·R VPU ops) and loses to XLA's fused sort at these sizes,
-so ``backend="auto"`` currently resolves to XLA; the kernel stays available
-(env BEAM_SLAM_KNN_BACKEND=pallas) for traffic-bound regimes (very large
-maps / co-scheduled memory-bound kernels) and as the base for an O(log)
-bitonic in-block top-k.
+Measured on one v5e chip (round 4, packed-key variant below):
+(Q=2112, R=21120, k=5): pallas 8.8 ms vs XLA approx_max_k 5.2 ms;
+(Q=6144, R=30720, k=10): pallas 29 ms vs XLA 2.9 ms. The XLA path wins
+decisively because the TPU's PartialReduce (approx_max_k) fuses with the
+distance matmul — the d2 matrix never costs a separate HBM pass there
+either, and its hardware top-k needs no VPU extraction passes. The packed
+single-min extraction (index bits in the mantissa LSBs) already halved the
+per-pass cost vs min+argmin+where; the remaining gap is Mosaic's cross-lane
+reduce_min lowering vs the fused PartialReduce, so ``backend="auto"``
+resolves to XLA and the kernel stays as tested infrastructure
+(BEAM_SLAM_KNN_BACKEND=pallas).
 """
 
 from __future__ import annotations
@@ -47,48 +51,58 @@ _INF = 3.4e38  # plain float: jnp scalars become captured consts in kernels
 _SENTINEL = 1.0e5  # "very far away" coordinate for invalid/padded refs
 
 
-def _knn_kernel(q_ref, r_ref, d_out, i_out, *, k: int):
+_IDX_BITS = 17          # global ref index bits (R <= 131072)
+_IDX_MASK = (1 << _IDX_BITS) - 1
+_KEY_INF = 0x7F000000   # huge f32 bit pattern with zeroed index bits
+
+
+def _knn_kernel(q_ref, r_ref, k_out, *, k: int):
+    """Packed-key top-k: for d2 >= 0, the IEEE-754 bit pattern compares like
+    the float, so (bits(d2) & ~IDX_MASK) | global_col is an int32 key whose
+    MIN is simultaneously the min distance AND its ref index — one VPU min
+    per extraction pass instead of min + argmin + masked where (the 3-pass
+    variant measured 10.6 ms vs XLA's 6.4 ms at the registration shapes).
+    The low ``_IDX_BITS`` mantissa bits are truncated from the distance
+    (relative error 2^(17-23) ≈ 1.6%): neighbors whose distances agree
+    within that may swap rank or collapse to one slot — irrelevant for the
+    line/plane *fits* this search feeds, which only consume neighborhood
+    moments. The unpacked distances carry the same truncation; the
+    max_corr_dist gate is orders of magnitude coarser."""
     ri = pl.program_id(1)
 
     @pl.when(ri == 0)
     def _():
-        d_out[:] = jnp.full(d_out.shape, _INF, jnp.float32)
-        i_out[:] = jnp.zeros(i_out.shape, jnp.int32)
+        k_out[:] = jnp.full(k_out.shape, _KEY_INF, jnp.int32)
 
     q = q_ref[:]                                     # [TILE_Q, 3]
     r = r_ref[:]                                     # [TILE_R, 3]
     q_sq = jnp.sum(q * q, axis=1, keepdims=True)
     r_sq = jnp.sum(r * r, axis=1)
-    cross = jnp.dot(q, r.T, preferred_element_type=jnp.float32)
-    d2 = q_sq + r_sq[None, :] - 2.0 * cross          # [TILE_Q, TILE_R]
-    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    # cross term as 3 VPU outer products: exact f32 (no bf16 coordinate
+    # truncation), and a K=3 MXU dot would waste 125/128 of the systolic
+    # array anyway
+    cross = (q[:, 0:1] * r[:, 0][None, :]
+             + q[:, 1:2] * r[:, 1][None, :]
+             + q[:, 2:3] * r[:, 2][None, :])
+    d2 = jnp.maximum(q_sq + r_sq[None, :] - 2.0 * cross, 0.0)
+    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + ri * TILE_R
+    keys = (jax.lax.bitcast_convert_type(d2, jnp.int32)
+            & jnp.int32(~_IDX_MASK)) | col           # [TILE_Q, TILE_R]
 
-    # this block's k best (min + mask-out, k passes on the VPU)
-    blk_d = []
-    blk_i = []
+    # this block's k best keys (k single-min passes), merged with the
+    # running top-k carried in the VMEM-resident output tile
+    blk = []
     for _ in range(k):
-        m = jnp.min(d2, axis=1)
-        a = jnp.argmin(d2, axis=1).astype(jnp.int32)
-        blk_d.append(m)
-        blk_i.append(ri * TILE_R + a)
-        d2 = jnp.where(col == a[:, None], _INF, d2)
-
-    cand_d = jnp.concatenate([d_out[:], jnp.stack(blk_d, axis=1)], axis=1)
-    cand_i = jnp.concatenate([i_out[:], jnp.stack(blk_i, axis=1)], axis=1)
-    ccol = jax.lax.broadcasted_iota(jnp.int32, cand_d.shape, 1)
-    out_d = []
-    out_i = []
+        m = jnp.min(keys, axis=1)
+        blk.append(m)
+        keys = jnp.where(keys == m[:, None], jnp.int32(_KEY_INF), keys)
+    cand = jnp.concatenate([k_out[:], jnp.stack(blk, axis=1)], axis=1)
+    out = []
     for _ in range(k):
-        m = jnp.min(cand_d, axis=1)
-        a = jnp.argmin(cand_d, axis=1)
-        sel = ccol == a[:, None]
-        out_d.append(m)
-        # one-hot select instead of gather (Mosaic's gather lowering only
-        # supports full-shape indices)
-        out_i.append(jnp.sum(jnp.where(sel, cand_i, 0), axis=1))
-        cand_d = jnp.where(sel, _INF, cand_d)
-    d_out[:] = jnp.stack(out_d, axis=1)
-    i_out[:] = jnp.stack(out_i, axis=1)
+        m = jnp.min(cand, axis=1)
+        out.append(m)
+        cand = jnp.where(cand == m[:, None], jnp.int32(_KEY_INF), cand)
+    k_out[:] = jnp.stack(out, axis=1)
 
 
 @functools.partial(jax.jit,
@@ -137,8 +151,9 @@ def knn_topk(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
                            _SENTINEL)
     rpad = jnp.full((Rp, 3), _SENTINEL, jnp.float32).at[:R].set(ref_masked)
 
+    assert Rp <= (1 << _IDX_BITS), "packed-key kNN supports R <= 131072"
     grid = (Qp // TILE_Q, Rp // TILE_R)
-    d_arr, i_arr = pl.pallas_call(
+    k_arr = pl.pallas_call(
         functools.partial(_knn_kernel, k=k),
         grid=grid,
         in_specs=[
@@ -147,16 +162,14 @@ def knn_topk(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray,
             pl.BlockSpec((TILE_R, 3), lambda qi, ri: (ri, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((TILE_Q, k), lambda qi, ri: (qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_Q, k), lambda qi, ri: (qi, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Qp, k), jnp.float32),
-            jax.ShapeDtypeStruct((Qp, k), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec((TILE_Q, k), lambda qi, ri: (qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Qp, k), jnp.int32),
         interpret=interpret,
     )(qpad, rpad)
-    return i_arr[:Q].astype(jnp.int32), d_arr[:Q]
+    k_arr = k_arr[:Q]
+    idx = (k_arr & _IDX_MASK).astype(jnp.int32)
+    d2 = jax.lax.bitcast_convert_type(k_arr & jnp.int32(~_IDX_MASK),
+                                      jnp.float32)
+    idx = jnp.minimum(idx, R - 1)  # sentinel slots decode in-range
+    return idx, d2

@@ -22,12 +22,20 @@ def test_pallas_knn_matches_xla(Q, R, k):
     d_p = np.sort(np.asarray(d_p), axis=1)
     finite = np.isfinite(d_x)
     # sentinel hits (invalid refs) appear as huge-but-finite distances in
-    # the pallas path; compare only real neighbors
-    np.testing.assert_allclose(d_p[finite], d_x[finite], rtol=1e-4,
+    # the pallas path; compare only real neighbors. The packed-key kernel
+    # truncates _IDX_BITS mantissa bits → distances within 2^-6 relative
+    # may swap rank or collapse; the neighbor SETS must still agree to the
+    # same tolerance (the consumer is a moments fit).
+    np.testing.assert_allclose(d_p[finite], d_x[finite], rtol=2e-2,
                                atol=1e-4)
-    same = [set(np.asarray(i_x)[n][finite[n]])
-            == set(np.asarray(i_p)[n][finite[n]]) for n in range(Q)]
-    assert np.mean(same) > 0.99
+    near_same = []
+    i_x = np.asarray(i_x)
+    i_p = np.asarray(i_p)
+    for n in range(Q):
+        sx = set(i_x[n][finite[n]])
+        sp = set(i_p[n][finite[n]])
+        near_same.append(len(sx & sp) >= max(len(sx) - 1, 1))
+    assert np.mean(near_same) > 0.97
 
 
 def test_registration_knn_dispatch_unchanged():
