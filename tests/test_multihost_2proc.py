@@ -14,13 +14,10 @@ import os
 import subprocess
 import sys
 
-import pytest
-
 SCRIPT = os.path.join(os.path.dirname(__file__), "..", "tools",
                       "run_multihost_pgo.py")
 
 
-@pytest.mark.timeout(600)
 def test_two_process_pgo_agrees_with_single_device():
     env = {k: v for k, v in os.environ.items()
            if not k.startswith("PALLAS_AXON")}

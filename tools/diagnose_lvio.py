@@ -84,6 +84,9 @@ def main():
                     help="override marginalization_prior_cov")
     ap.add_argument("--iters", type=int, default=None,
                     help="override solver max_iterations")
+    ap.add_argument("--ftol", type=float, default=None,
+                    help="override solver function_tolerance (0 = always "
+                    "run max_iterations)")
     ap.add_argument("--vo-standalone", action="store_true",
                     help="standalone-VO mode: private visual graph, only a "
                     "relative-pose factor to the main graph")
@@ -153,6 +156,8 @@ def main():
             cfg.vo.standalone = True
         if args.iters is not None:
             cfg.max_iterations = args.iters
+        if args.ftol is not None:
+            cfg.function_tolerance = args.ftol
 
     r = run_synthetic_session(
         mode=args.mode, duration_s=args.duration, lag_s=lag,
