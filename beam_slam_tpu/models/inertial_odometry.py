@@ -447,11 +447,42 @@ class InertialOdometry:
         if not self.initialized or self.model.t_kf is None:
             return
         t = self.model.t_kf
-        if t in smoother.slot_of_stamp:
-            st = smoother.get_state(t)
-            self.model.update_from_graph(st, t)
-            # watchdog (:249-260)
-            if (np.linalg.norm(st["bg"]) > self.params.bg_limit
-                    or np.linalg.norm(st["ba"]) > self.params.ba_limit):
-                self.reset_count += 1
-                self.initialized = False
+        st = smoother.try_get_state(t)
+        if st is None:
+            # Async optimizer tick: the notify fires with the PREVIOUS
+            # solve's graph, and the newest keyframe's transaction is still
+            # queued — t_kf is not in the graph yet. Without this branch the
+            # model silently never re-bases (the round-5 async accuracy
+            # killer: seeds dead-reckoned, drift compounded ~700x over 60 s).
+            # Reference semantics (imu_preintegration.cpp UpdateGraph):
+            # adopt the newest optimized state ON the chain and re-integrate
+            # the stored factor windows forward to t_kf.
+            chain = []  # factor windows t_graph -> ... -> t_kf, newest last
+            t_j = t
+            for _ in range(8):  # bounded walk (async skips >1 tick at most)
+                t_i = next((ti for (ti, tj) in self.model.factor_data
+                            if tj == t_j), None)
+                if t_i is None:
+                    return
+                chain.append((t_i, t_j))
+                st = smoother.try_get_state(t_i)
+                if st is not None:
+                    break
+                t_j = t_i
+            if st is None:
+                return
+            q, p, v = st["q"], st["p"], st["v"]
+            bg, ba = st["bg"], st["ba"]
+            for (t_i, t_j) in reversed(chain):
+                dts, w, a = self.model.factor_data[(t_i, t_j)]
+                d = pre.preintegrate_np(dts, w, a, bg, ba, self.model.noise,
+                                        compute_information=False)
+                q, p, v = pre.predict_state_np(d, q, p, v)
+            st = dict(q=np.asarray(q), p=np.asarray(p), v=np.asarray(v),
+                      bg=np.asarray(bg), ba=np.asarray(ba))
+        self.model.update_from_graph(st, t)
+        # watchdog (:249-260)
+        if (np.linalg.norm(st["bg"]) > self.params.bg_limit
+                or np.linalg.norm(st["ba"]) > self.params.ba_limit):
+            self.reset_count += 1
+            self.initialized = False

@@ -137,8 +137,16 @@ class LidarOdometry:
         reg_map = getattr(self.registration, "map", None)
         live = set(smoother.slot_of_stamp.keys())
         for stamp in list(self._kf_features.keys()):
+            st = None
             if stamp in live:
-                st = smoother.get_state(stamp)
+                try:
+                    st = smoother.get_state(stamp)
+                except KeyError:
+                    # marginalized between the `live` snapshot and this
+                    # query (the async/threaded tick runs concurrently) —
+                    # treat exactly like a stamp that left the window
+                    st = None
+            if st is not None:
                 self._kf_pose[stamp] = (st["q"], st["p"])
                 if (reg_map is not None
                         and self.params.map_update_mode == "all_scans"):

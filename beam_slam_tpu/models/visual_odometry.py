@@ -143,8 +143,8 @@ class VisualOdometry:
 
     def _on_graph_update(self, smoother: FixedLagSmoother):
         for t in list(self.kf_pose.keys()):
-            if t in smoother.slot_of_stamp:
-                st = smoother.get_state(t)
+            st = smoother.try_get_state(t)
+            if st is not None:
                 self.kf_pose[t] = (st["q"].copy(), st["p"].copy())
 
     # -- frames ------------------------------------------------------------

@@ -50,7 +50,9 @@ class Odometry3DPublisher:
         t = latest_synchronized_stamp(smoother)
         if t is None or t - self._last_pub < self.min_period:
             return
-        st = smoother.get_state(t)
+        st = smoother.try_get_state(t)  # may marginalize concurrently
+        if st is None:
+            return
         sample = OdometrySample(t, st["q"], st["p"], st["v"])
         self._last_pub = t
         self.history.append(sample)
@@ -71,7 +73,9 @@ class Path3DPublisher:
     def _notify(self, smoother: FixedLagSmoother):
         path = []
         for t in smoother.current_stamps():
-            st = smoother.get_state(t)
+            st = smoother.try_get_state(t)  # may marginalize concurrently
+            if st is None:
+                continue
             path.append((t, st["q"], st["p"]))
         self.latest_path = path
         for cb in self.subscribers:

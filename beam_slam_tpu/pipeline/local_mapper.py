@@ -284,8 +284,9 @@ class LocalMapper:
         """Full in-window trajectory (Path3DPublisher surface)."""
         out = []
         for t in self.smoother.current_stamps():
-            st = self.smoother.get_state(t)
-            out.append((t, st["q"], st["p"]))
+            st = self.smoother.try_get_state(t)
+            if st is not None:
+                out.append((t, st["q"], st["p"]))
         return out
 
     def reset(self):

@@ -58,6 +58,7 @@ class ThreadedLocalMapper(LocalMapper):
         self._unfinished = {s: 0 for s in _STREAMS}
         self._count_lock = threading.Lock()
         self.dropped = {s: 0 for s in _STREAMS}
+        self.errors = {s: 0 for s in _STREAMS}
         self._stop = threading.Event()
         self._threads = [
             threading.Thread(target=self._spin, args=(s,), daemon=True,
@@ -182,6 +183,14 @@ class ThreadedLocalMapper(LocalMapper):
             try:
                 fn, args = item
                 fn(*args)
+            except Exception:  # noqa: BLE001 — keep the spinner alive
+                # A failing callback must not kill the stream (fuse callback
+                # queues likewise survive a throwing plugin callback): count
+                # it, log the first few, keep spinning.
+                self.errors[stream] += 1
+                if self.errors[stream] <= 3:
+                    import traceback
+                    traceback.print_exc()
             finally:
                 with self._count_lock:
                     self._unfinished[stream] -= 1

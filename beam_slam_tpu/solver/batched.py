@@ -182,33 +182,173 @@ def linearize_shared(fam_b, window_b: WindowState, template=None):
     return r, J, lm_slot, J_lm, mask_b
 
 
-def assemble_shared(
-    window_b: WindowState,
-    families_b: Sequence,
-    losses: Tuple[Optional[float], ...],
-    templates: Optional[Sequence] = None,
-):
-    """Batched blocks assembly with shared topology. Identical output
-    contract to gn.assemble_normal_equations with a leading batch axis:
-    (H [B,D+1,D+1], g [B,D+1], H_ll [B,L,3,3], g_l [B,L,3],
-    W [B,D+1,L·3], cost [B])."""
-    D = window_b.imu.q.shape[1] * IMU_DOF \
-        + window_b.extrinsics.q.shape[1] * POSE_DOF \
-        + window_b.motion.w.shape[1] * MOTION_DOF
-    B = window_b.imu.q.shape[0]
+def _region_dims(window_b: WindowState):
+    """Static region geometry shared by the assembly helpers."""
     K = window_b.imu.q.shape[1]
     E = window_b.extrinsics.q.shape[1]
     M = window_b.motion.w.shape[1]
-    L = window_b.landmarks.pt.shape[1]
-    dtype = window_b.imu.q.dtype
-
     KINDS = (fc.BLOCK_IMU, fc.BLOCK_EXTRINSIC, fc.BLOCK_MOTION)
     CAP = {fc.BLOCK_IMU: K, fc.BLOCK_EXTRINSIC: E, fc.BLOCK_MOTION: M}
     DOF = {fc.BLOCK_IMU: IMU_DOF, fc.BLOCK_EXTRINSIC: POSE_DOF,
            fc.BLOCK_MOTION: MOTION_DOF}
     ROFF = {fc.BLOCK_IMU: 0, fc.BLOCK_EXTRINSIC: K * IMU_DOF,
             fc.BLOCK_MOTION: K * IMU_DOF + E * POSE_DOF}
+    return KINDS, CAP, DOF, ROFF
+
+
+def _family_groups(cls):
+    """Non-landmark block kinds of a family class: {kind: [(block_idx,
+    col_offset)]} plus the per-kind local tangent columns."""
+    blocks = [k for k in cls.BLOCKS if k != fc.BLOCK_LANDMARK]
+    offs, o = [], 0
+    for k in blocks:
+        offs.append(o)
+        o += fc.block_dof(k)
+    groups = {}
+    for b, k in enumerate(blocks):
+        groups.setdefault(k, []).append((b, offs[b]))
+    return groups
+
+
+def _family_contrib(fam_b, window_b, loss, tmpl, dims):
+    """Scatter one family's (or family chunk's) normal-equation
+    contributions into region-shaped accumulator deltas.
+
+    Returns a dict with static STRING keys (mixed-type keys break JAX's
+    pytree dict-key sort): "g:<kind>" [B,C,d], "Adiag:<kind>" [B,C,d,d],
+    "A:<k1>:<k2>" [B,C1,d1,C2,d2], "H_ll" [B,L,3,3], "g_l" [B,L,3],
+    "W:<kind>" [B,C·d,L·3], "cost" [B]. All GEMMs keep the full batch B in the N dimension —
+    chunking (if any) happens on the FACTOR axis outside this function, so
+    batch scaling is never serialized."""
+    KINDS, CAP, DOF, _ = dims
     ORD = {k: i for i, k in enumerate(KINDS)}
+    B = window_b.imu.q.shape[0]
+    L = window_b.landmarks.pt.shape[1]
+    dtype = window_b.imu.q.dtype
+
+    fam0 = tmpl if tmpl is not None else _first(fam_b)
+    r, J, lm_slot, J_lm, mask = linearize_shared(fam_b, window_b,
+                                                 template=tmpl)
+    F = r.shape[1]
+    s_raw = jnp.sum(r * r, axis=-1)                  # [B, F]
+    s = jnp.where(mask > 0, s_raw, 0.0)
+    w, rho = gn.robust_weight(s, loss)
+    out = {"cost": 0.5 * jnp.sum(rho, axis=-1)}
+    sw = jnp.sqrt(w) * mask
+    r = r * sw[:, :, None]
+    J = J * sw[:, :, None, None]
+
+    P = gn._gram(J)                                  # [B, F, Dl, Dl]
+    q = gn._jtr(J, r)                                # [B, F, Dl]
+
+    groups = _family_groups(type(fam0))
+
+    def _cols(kind):
+        return np.concatenate([np.arange(off, off + DOF[kind])
+                               for _, off in groups[kind]])
+
+    def _slots(kind):
+        bs = [b for b, _ in groups[kind]]
+        return fam0.slots[:, bs]                     # [F, n] shared
+
+    # gradient: one GEMM per kind with B folded into N
+    for kind in groups:
+        n = len(groups[kind])
+        d = DOF[kind]
+        qg = jnp.take(q, _cols(kind), axis=2).reshape(B, F * n, d)
+        oh = jax.nn.one_hot(_slots(kind).reshape(-1), CAP[kind],
+                            dtype=dtype)             # [F·n, C] shared
+        out[f"g:{kind}"] = -jnp.einsum("xc,bxd->bcd", oh, qg)
+
+    # Hessian regions: shared (pair) one-hots, B in the GEMM N dim
+    for k1 in groups:
+        for k2 in groups:
+            if ORD[k2] < ORD[k1]:
+                continue
+            n1, n2 = len(groups[k1]), len(groups[k2])
+            d1, d2 = DOF[k1], DOF[k2]
+            c1, c2 = _cols(k1), _cols(k2)
+            Ps = jnp.take(jnp.take(P, c1, axis=2), c2, axis=3)
+            Ps = Ps.reshape(B, F, n1, d1, n2, d2)
+            if k1 == k2 and n1 == 1:
+                oh = jax.nn.one_hot(_slots(k1)[:, 0], CAP[k1],
+                                    dtype=dtype)     # [F, C]
+                out[f"Adiag:{k1}"] = jnp.einsum(
+                    "fc,bfde->bcde", oh, Ps.reshape(B, F, d1, d2))
+                continue
+            Ps = Ps.transpose(0, 1, 2, 4, 3, 5).reshape(
+                B, F * n1 * n2, d1 * d2)
+            S1, S2 = _slots(k1), _slots(k2)
+            pair = (S1[:, :, None] * CAP[k2]
+                    + S2[:, None, :]).reshape(-1)    # [F·n1·n2] shared
+            oh = jax.nn.one_hot(pair, CAP[k1] * CAP[k2], dtype=dtype)
+            out[f"A:{k1}:{k2}"] = jnp.einsum("xp,bxe->bpe", oh, Ps).reshape(
+                B, CAP[k1], CAP[k2], d1, d2).transpose(0, 1, 3, 2, 4)
+
+    # landmark system + pose-landmark coupling
+    if lm_slot is not None:
+        J_lm = J_lm * sw[:, :, None, None]
+        oh_lm = jax.nn.one_hot(lm_slot, L, dtype=dtype)   # [F, L] shared
+        out["H_ll"] = jnp.einsum("fl,bfij->blij", oh_lm, gn._gram(J_lm))
+        out["g_l"] = -jnp.einsum("fl,bfi->bli", oh_lm, gn._jtr(J_lm, r))
+        Cr = gn._cross(J, J_lm)                           # [B,F,Dd,3]
+        for kind in groups:
+            n = len(groups[kind])
+            d = DOF[kind]
+            C = CAP[kind]
+            Cg = jnp.take(Cr, _cols(kind), axis=2).reshape(
+                B, F, n, d * LANDMARK_DOF).transpose(0, 2, 1, 3).reshape(
+                B, n * F, d * LANDMARK_DOF)
+            # shared (slot, landmark) pair one-hot [n·F, C·L] built from the
+            # fused pair INDEX (slot·L + lm) — one one_hot instead of the
+            # outer product of two (the outer product materialized an
+            # [n·F, C, L] intermediate). The GEMM [C·L, n·F] @ [n·F, B·d·3]
+            # scatters every coupling block in one MXU pass.
+            slot_flat = _slots(kind).T.reshape(-1)           # [n·F]
+            lm_flat = jnp.tile(lm_slot, (n,))                # [n·F]
+            pair = jax.nn.one_hot(slot_flat * L + lm_flat, C * L,
+                                  dtype=dtype)               # [n·F, C·L]
+            Wk = jnp.einsum("xm,bxd->bmd", pair, Cg).reshape(
+                B, C, L, d, LANDMARK_DOF).transpose(0, 1, 3, 2, 4)
+            out[f"W:{kind}"] = Wk.reshape(B, C * d, L * LANDMARK_DOF)
+    return out
+
+
+def _chunk_leading(x, n_chunks, axis):
+    """[.., F, ..] -> [n_chunks, .., F/n, ..] with the chunk axis leading."""
+    F = x.shape[axis]
+    new = x.reshape(x.shape[:axis] + (n_chunks, F // n_chunks)
+                    + x.shape[axis + 1:])
+    return jnp.moveaxis(new, axis, 0)
+
+
+def assemble_shared(
+    window_b: WindowState,
+    families_b: Sequence,
+    losses: Tuple[Optional[float], ...],
+    templates: Optional[Sequence] = None,
+    f_chunk: int = 0,
+):
+    """Batched blocks assembly with shared topology. Identical output
+    contract to gn.assemble_normal_equations with a leading batch axis:
+    (H [B,D+1,D+1], g [B,D+1], H_ll [B,L,3,3], g_l [B,L,3],
+    W [B,D+1,L·3], cost [B]).
+
+    ``f_chunk`` > 0 chunks families with more than ``f_chunk`` factors on
+    the FACTOR axis (lax.scan with region accumulators): the per-factor
+    Gram/coupling intermediates ([B,F,Dl,Dl] etc.) stay VMEM-sized at any
+    batch size while every scatter GEMM keeps the full B in its N
+    dimension. This fixes the round-4 B=32 cliff (13 ms/assembly from
+    HBM spill) without serializing the batch the way batch-chunking
+    (assemble_shared_chunked) did."""
+    D = window_b.imu.q.shape[1] * IMU_DOF \
+        + window_b.extrinsics.q.shape[1] * POSE_DOF \
+        + window_b.motion.w.shape[1] * MOTION_DOF
+    B = window_b.imu.q.shape[0]
+    L = window_b.landmarks.pt.shape[1]
+    dtype = window_b.imu.q.dtype
+    dims = _region_dims(window_b)
+    KINDS, CAP, DOF, ROFF = dims
 
     A = {}
     Adiag = {}
@@ -221,107 +361,49 @@ def assemble_shared(
     if templates is None:
         templates = [None] * len(tuple(families_b))
     for fam_b, loss, tmpl in zip(families_b, losses, templates):
-        fam0 = tmpl if tmpl is not None else _first(fam_b)
-        r, J, lm_slot, J_lm, mask = linearize_shared(fam_b, window_b,
-                                                     template=tmpl)
-        F = r.shape[1]
-        s_raw = jnp.sum(r * r, axis=-1)                  # [B, F]
-        s = jnp.where(mask > 0, s_raw, 0.0)
-        w, rho = gn.robust_weight(s, loss)
-        cost = cost + 0.5 * jnp.sum(rho, axis=-1)
-        sw = jnp.sqrt(w) * mask
-        r = r * sw[:, :, None]
-        J = J * sw[:, :, None, None]
+        tmpl = tmpl if tmpl is not None else _first(fam_b)
+        F = tmpl.slots.shape[0]
+        if f_chunk and F > f_chunk and F % f_chunk == 0:
+            n_chunks = F // f_chunk
+            fam_xs = jax.tree_util.tree_map(
+                lambda x: _chunk_leading(x, n_chunks, axis=1), fam_b)
+            tmpl_xs = jax.tree_util.tree_map(
+                lambda x: _chunk_leading(x, n_chunks, axis=0), tmpl)
 
-        P = gn._gram(J)                                  # [B, F, Dl, Dl]
-        q = gn._jtr(J, r)                                # [B, F, Dl]
+            def body(carry, xs):
+                fam_c, tmpl_c = xs
+                c = _family_contrib(fam_c, window_b, loss, tmpl_c, dims)
+                return {k: carry[k] + c[k] for k in carry}, None
 
-        blocks = [k for k in type(fam0).BLOCKS if k != fc.BLOCK_LANDMARK]
-        offs, o = [], 0
-        for k in blocks:
-            offs.append(o)
-            o += fc.block_dof(k)
-        groups = {}
-        for b, k in enumerate(blocks):
-            groups.setdefault(k, []).append((b, offs[b]))
+            shapes = jax.eval_shape(
+                lambda f, t: _family_contrib(f, window_b, loss, t, dims),
+                jax.tree_util.tree_map(lambda x: x[0], fam_xs),
+                jax.tree_util.tree_map(lambda x: x[0], tmpl_xs))
+            zero = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+            contrib, _ = jax.lax.scan(body, zero, (fam_xs, tmpl_xs))
+        else:
+            contrib = _family_contrib(fam_b, window_b, loss, tmpl, dims)
 
-        def _cols(kind):
-            return np.concatenate([np.arange(off, off + DOF[kind])
-                                   for _, off in groups[kind]])
-
-        def _slots(kind):
-            bs = [b for b, _ in groups[kind]]
-            return fam0.slots[:, bs]                     # [F, n] shared
-
-        # gradient: one GEMM per kind with B folded into N
-        for kind in groups:
-            n = len(groups[kind])
-            d = DOF[kind]
-            qg = jnp.take(q, _cols(kind), axis=2).reshape(B, F * n, d)
-            oh = jax.nn.one_hot(_slots(kind).reshape(-1), CAP[kind],
-                                dtype=dtype)             # [F·n, C] shared
-            g_reg[kind] = g_reg[kind] - jnp.einsum("xc,bxd->bcd", oh, qg)
-
-        # Hessian regions: shared (pair) one-hots, B in the GEMM N dim
-        for k1 in groups:
-            for k2 in groups:
-                if ORD[k2] < ORD[k1]:
-                    continue
-                n1, n2 = len(groups[k1]), len(groups[k2])
-                d1, d2 = DOF[k1], DOF[k2]
-                c1, c2 = _cols(k1), _cols(k2)
-                Ps = jnp.take(jnp.take(P, c1, axis=2), c2, axis=3)
-                Ps = Ps.reshape(B, F, n1, d1, n2, d2)
-                if k1 == k2 and n1 == 1:
-                    oh = jax.nn.one_hot(_slots(k1)[:, 0], CAP[k1],
-                                        dtype=dtype)     # [F, C]
-                    contrib = jnp.einsum(
-                        "fc,bfde->bcde", oh, Ps.reshape(B, F, d1, d2))
-                    Adiag[k1] = Adiag.get(
-                        k1, jnp.zeros((B, CAP[k1], d1, d1), dtype)) + contrib
-                    continue
-                Ps = Ps.transpose(0, 1, 2, 4, 3, 5).reshape(
-                    B, F * n1 * n2, d1 * d2)
-                S1, S2 = _slots(k1), _slots(k2)
-                pair = (S1[:, :, None] * CAP[k2]
-                        + S2[:, None, :]).reshape(-1)    # [F·n1·n2] shared
-                oh = jax.nn.one_hot(pair, CAP[k1] * CAP[k2], dtype=dtype)
-                contrib = jnp.einsum("xp,bxe->bpe", oh, Ps).reshape(
-                    B, CAP[k1], CAP[k2], d1, d2).transpose(0, 1, 3, 2, 4)
-                key = (k1, k2)
-                A[key] = A.get(key, jnp.zeros(
-                    (B, CAP[k1], d1, CAP[k2], d2), dtype)) + contrib
-
-        # landmark system + pose-landmark coupling
-        if lm_slot is not None:
-            J_lm = J_lm * sw[:, :, None, None]
-            oh_lm = jax.nn.one_hot(lm_slot, L, dtype=dtype)   # [F, L] shared
-            Hll_f = gn._gram(J_lm)
-            H_ll = H_ll + jnp.einsum("fl,bfij->blij", oh_lm, Hll_f)
-            gl_f = gn._jtr(J_lm, r)
-            g_l = g_l - jnp.einsum("fl,bfi->bli", oh_lm, gl_f)
-            Cr = gn._cross(J, J_lm)                           # [B,F,Dd,3]
-            for kind in groups:
-                n = len(groups[kind])
-                d = DOF[kind]
-                C = CAP[kind]
-                Cg = jnp.take(Cr, _cols(kind), axis=2).reshape(
-                    B, F, n, d * LANDMARK_DOF).transpose(0, 2, 1, 3).reshape(
-                    B, n * F, d * LANDMARK_DOF)
-                # shared (slot, landmark) pair one-hot [n·F, C·L]: the GEMM
-                # [C·L, n·F] @ [n·F, B·d·3] scatters every coupling block in
-                # one MXU pass; construction is loop-invariant across LM
-                # iterations (XLA hoists it out of the scan)
-                oh_c = jax.nn.one_hot(
-                    _slots(kind).T.reshape(-1), C, dtype=dtype)  # [n·F, C]
-                oh_l = jnp.tile(oh_lm, (n, 1))                   # [n·F, L]
-                pair = (oh_c[:, :, None] * oh_l[:, None, :]).reshape(
-                    n * F, C * L)
-                Wk = jnp.einsum("xm,bxd->bmd", pair, Cg).reshape(
-                    B, C, L, d, LANDMARK_DOF).transpose(0, 1, 3, 2, 4)
-                Wk = Wk.reshape(B, C * d, L * LANDMARK_DOF)
-                W_rows[kind] = W_rows.get(kind, jnp.zeros(
-                    (B, C * d, L * LANDMARK_DOF), dtype)) + Wk
+        cost = cost + contrib["cost"]
+        for key, val in contrib.items():
+            if key == "cost":
+                continue
+            parts = key.split(":")
+            tag = parts[0]
+            if tag == "g":
+                g_reg[parts[1]] = g_reg[parts[1]] + val
+            elif tag == "Adiag":
+                Adiag[parts[1]] = Adiag.get(parts[1], 0.0) + val
+            elif tag == "A":
+                k12 = (parts[1], parts[2])
+                A[k12] = A.get(k12, 0.0) + val
+            elif tag == "W":
+                W_rows[parts[1]] = W_rows.get(parts[1], 0.0) + val
+            elif key == "H_ll":
+                H_ll = H_ll + val
+            elif key == "g_l":
+                g_l = g_l + val
 
     # dense assembly from region accumulators
     H = jnp.zeros((B, D + 1, D + 1), dtype)
@@ -363,15 +445,12 @@ def _bcast(flag: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
 
 def assemble_shared_chunked(window_b: WindowState, families_b, losses,
                             chunk: int = 8):
-    """assemble_shared over batch chunks of ``chunk`` via lax.map.
+    """assemble_shared over BATCH chunks of ``chunk`` via lax.map.
 
-    Measured cliff (tools/profile_batched.py): at B=8 the big per-factor
-    intermediates ([B,F,D,D] Grams etc.) fit in VMEM and fuse — ~0.9 ms per
-    assembly; at B=32 they spill to HBM and the same assembly costs ~13 ms
-    (cost_analysis: bytes scale linearly, time does not). Chunking keeps
-    every chunk in the fused VMEM regime; the chunks run sequentially but
-    each at the fast rate, and chunk-invariant tensors (the shared one-hot
-    matrices) are hoisted out of the loop by XLA."""
+    Keeps every intermediate in the B=8 fused-VMEM regime; the chunks run
+    sequentially but each at the fast rate. Round-5 measured this ~2x
+    faster at B>=32 than both the un-chunked pass and factor-axis chunking
+    (see solve_batched_shared docstring), so it is the default assembly."""
     B = window_b.imu.q.shape[0]
     if chunk >= B or B % chunk != 0:
         return assemble_shared(window_b, families_b, losses)
@@ -453,27 +532,49 @@ def lm_loop_batched(window_b: WindowState, assemble, n_iter,
     return window_b, diag
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 5, 6))
 def _solve_shared_impl(window_b, families_b, losses,
-                       options: gn.SolverOptions, n_iter, asm_chunk: int):
-    return lm_loop_batched(
-        window_b,
-        lambda w: assemble_shared_chunked(w, families_b, losses,
-                                          chunk=asm_chunk),
-        n_iter, options)
+                       options: gn.SolverOptions, n_iter, asm_chunk: int,
+                       f_chunk: int):
+    if asm_chunk:
+        assemble = lambda w: assemble_shared_chunked(  # noqa: E731
+            w, families_b, losses, chunk=asm_chunk)
+    else:
+        templates = tuple(_first(f) for f in families_b)
+        assemble = lambda w: assemble_shared(          # noqa: E731
+            w, families_b, losses, templates=templates, f_chunk=f_chunk)
+    return lm_loop_batched(window_b, assemble, n_iter, options)
 
 
 def solve_batched_shared(window_b: WindowState, families_b,
                          losses: Tuple[Optional[float], ...],
                          options: gn.SolverOptions = gn.SolverOptions(),
-                         check: bool = False, asm_chunk: int = 8):
+                         check: bool = False, asm_chunk: int = 8,
+                         f_chunk: int = 0):
     """Batched LM over B same-topology windows. ``check=True`` validates the
     shared-topology contract on host (requires concrete arrays).
-    ``asm_chunk``: assembly batch-chunk size (see assemble_shared_chunked)."""
+
+    Assembly variants, MEASURED on TPU v5e (round-5 /tmp/asm_bench:
+    one assembly, flagship window, B=8/32/64):
+
+    ===========  ======  ======  ======
+    variant        B=8    B=32    B=64
+    ===========  ======  ======  ======
+    whole          4.44   16.88   27.06
+    f_chunk=256    4.33   15.67   23.78
+    asm_chunk=8    4.22    8.47   14.03
+    ===========  ======  ======  ======
+
+    Factor-axis chunking (``f_chunk``) keeps the full batch in every
+    scatter GEMM but barely beats the un-chunked pass — the B=32 cliff is
+    the overall fusion regime, not the per-factor Gram alone. Batch
+    chunking (``asm_chunk=8``, lax.map over B-chunks) keeps every
+    intermediate in the B=8 fused regime and wins ~2x at B>=32 despite
+    serializing chunks, so it stays the default."""
     if check:
         assert_shared_topology(families_b)
     sl = options.scan_length or options.max_iterations
     n_iter = jnp.asarray(min(options.max_iterations, sl), jnp.int32)
     static = options._replace(max_iterations=0, scan_length=sl)
     return _solve_shared_impl(window_b, families_b, losses, static, n_iter,
-                              asm_chunk)
+                              asm_chunk, f_chunk)

@@ -627,6 +627,18 @@ class FixedLagSmoother:
         return sorted(self.slot_of_stamp.keys())
 
     @_locked
+    def try_get_state(self, stamp: Stamp):
+        """Atomic presence-check + read: returns None when ``stamp`` is not
+        (or no longer) in the window. Notify consumers running on their own
+        spinner threads must use this instead of the
+        ``stamp in slot_of_stamp`` / ``get_state`` pair — between those two
+        calls the optimizer thread may marginalize the stamp (the TOCTOU
+        race that killed the round-5 threaded lidar spinner)."""
+        if stamp not in self.slot_of_stamp:
+            return None
+        return self.get_state(stamp)
+
+    @_locked
     def get_state(self, stamp: Stamp):
         s = self.slot_of_stamp[stamp]
         out = dict(q=self.q[s].copy(), p=self.p[s].copy(),

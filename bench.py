@@ -28,6 +28,9 @@ import time
 import jax
 import jax.numpy as jnp
 
+from beam_slam_tpu.utils import compile_cache
+
+compile_cache.enable()
 
 N_KF = 40
 KF_DT = 0.25

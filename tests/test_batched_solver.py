@@ -88,6 +88,36 @@ def test_assert_shared_topology_rejects_mismatch(batch):
         bs.assert_shared_topology(tuple(bad))
 
 
+def test_assemble_shared_fchunked_matches_unchunked(batch):
+    """Factor-axis-chunked assembly (the B=32 VMEM-spill fix) must produce
+    the same normal equations as the whole-family pass. f_chunk=16 forces
+    chunking on the reprojection (F=64) and IDP (F=24) families here."""
+    wins, fams = batch
+    ref = jax.jit(lambda w, f: bs.assemble_shared(w, f, LOSSES))(wins, fams)
+    out = jax.jit(lambda w, f: bs.assemble_shared(
+        w, f, LOSSES, f_chunk=16))(wins, fams)
+    names = ("H", "g", "H_ll", "g_l", "W", "cost")
+    for name, a, b in zip(names, ref, out):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(b, a, atol=2e-5 * scale, rtol=2e-5,
+                                   err_msg=name)
+
+
+def test_solve_batched_shared_fchunked_matches(batch):
+    """Full LM through the F-chunked assembly == unchunked."""
+    wins, fams = batch
+    options = gn.SolverOptions(max_iterations=6, scan_length=6)
+    ref_w, _ = jax.block_until_ready(
+        bs.solve_batched_shared(wins, fams, LOSSES, options, f_chunk=0))
+    out_w, _ = jax.block_until_ready(
+        bs.solve_batched_shared(wins, fams, LOSSES, options, f_chunk=16))
+    np.testing.assert_allclose(np.asarray(out_w.imu.p),
+                               np.asarray(ref_w.imu.p), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_w.landmarks.pt),
+                               np.asarray(ref_w.landmarks.pt), atol=1e-3)
+
+
 def test_solve_batched_shared_early_exit(batch):
     """Batched early exit: all-done while_loop terminates and matches the
     fixed-length scan states."""

@@ -28,7 +28,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # default: the deterministic CPU oracle backend; export
+    # JAX_PLATFORMS=tpu (etc.) to re-run the accuracy diagnosis on-chip
+    # (round-3 lesson: precision behaves differently on the TPU backend)
+    jax.config.update("jax_platforms", "cpu")
+
+from beam_slam_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
 
 import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

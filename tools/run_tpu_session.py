@@ -37,9 +37,14 @@ import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+from beam_slam_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
+
 
 def run_session(mode: str, duration_s: float, runtime: str,
-                lag_s: float, max_states: int, pipelined: bool = True):
+                lag_s: float, max_states: int, pipelined: bool = True,
+                feed: str = None):
     from beam_slam_tpu.models.slam_initialization import InitParams
     from beam_slam_tpu.pipeline.config import (CalibrationConfig,
                                                LocalMapperConfig)
@@ -74,15 +79,24 @@ def run_session(mode: str, duration_s: float, runtime: str,
             q_baselink_lidar=Q_BL, p_baselink_lidar=P_BL))
 
     threaded = runtime == "threaded"
+    # Feed semantics: 'drain' pushes the pre-generated stream as fast as the
+    # pipeline consumes it (meaningful for the sync runtime, where the
+    # producer IS the pipeline); 'realtime' paces events by their stamps —
+    # the reference's live operating regime, and the only honest feed for
+    # the threaded runtime (its producers are non-blocking with
+    # drop-oldest queues, so a drain feed just floods the queues at t=0 and
+    # measures nothing but the drop counter).
+    if feed is None:
+        feed = "realtime" if threaded else "drain"
 
-    # WARMUP: run a short prefix through a throwaway mapper so every jit
-    # executable (registration, preintegration buckets, the solve) compiles
-    # before the timed run — first-solve XLA compile is 40-60 s through the
-    # remote compile service and would otherwise dominate the measurement.
+    # WARMUP: run a short prefix through a throwaway SYNC mapper so every
+    # jit executable (registration, preintegration buckets, the solve)
+    # compiles before the timed run — first-solve XLA compile is 40-60 s
+    # through the remote compile service and would otherwise dominate the
+    # measurement. Sync mapper: same executables, deterministic drain.
     warm_t = min(4.0, duration_s / 2)
     print(f"warmup ({warm_t:.0f}s prefix)...", flush=True)
-    warm = (ThreadedLocalMapper(cfg).start() if threaded
-            else LocalMapper(cfg))
+    warm = LocalMapper(cfg)
     for ev in events:
         kind = ev[0]
         t_ev = ev[1].stamp if kind == "cam" else ev[1]
@@ -98,10 +112,7 @@ def run_session(mode: str, duration_s: float, runtime: str,
             warm.on_pose(ev[1], ev[2], ev[3])
         else:
             warm.tick()
-    if threaded:
-        warm.stop()
-    else:
-        warm.smoother.flush()
+    warm.smoother.flush()
 
     mapper = (ThreadedLocalMapper(cfg).start() if threaded
               else LocalMapper(cfg))
@@ -115,17 +126,25 @@ def run_session(mode: str, duration_s: float, runtime: str,
         SMOOTHED estimate — what the reference publishes — not the seed of
         the newest state (which in async mode is one harvest stale)."""
         for s in sm.current_stamps():
-            est[s] = sm.get_state(s)["p"].copy()
+            st = sm.try_get_state(s)  # optimizer may marginalize mid-walk
+            if st is not None:
+                est[s] = st["p"].copy()
 
     mapper.smoother.register_on_update(record)
 
     t_half_wall = None
     frames_seen = 0
     half_frames = 0
-    print(f"feeding {len(events)} events ({n_frames} frames)...", flush=True)
+    print(f"feeding {len(events)} events ({n_frames} frames, "
+          f"{feed} feed)...", flush=True)
     t0 = time.perf_counter()
     for ev in events:
         kind = ev[0]
+        t_ev = ev[1].stamp if kind == "cam" else ev[1]
+        if feed == "realtime":
+            lead = t_ev - (time.perf_counter() - t0)
+            if lead > 0:
+                time.sleep(lead)
         if kind == "imu":
             mapper.on_imu(ev[1], ev[2], ev[3])
         elif kind == "scan":
@@ -139,8 +158,6 @@ def run_session(mode: str, duration_s: float, runtime: str,
             if not threaded:
                 mapper.tick()
             if ev[1] >= duration_s / 2 and t_half_wall is None:
-                if threaded:
-                    mapper.join()  # barrier so the half point is honest
                 t_half_wall = time.perf_counter()
                 half_frames = frames_seen
     if threaded:
@@ -154,15 +171,24 @@ def run_session(mode: str, duration_s: float, runtime: str,
         raise RuntimeError(f"{mode} session failed ({len(est)} poses)")
     stamps = sorted(est.keys())
     gt = traj.sample(jnp.asarray(stamps, jnp.float32))
-    ate = float(ate_rmse(np.stack([est[t] for t in stamps]),
-                         np.asarray(gt.p), align="se3"))
+    est_p = np.stack([est[t] for t in stamps])
+    gt_p = np.asarray(gt.p)
+    ate = float(ate_rmse(est_p, gt_p, align="se3"))
+    # per-10s-bucket UNALIGNED error (drift localization: where does a bad
+    # run start diverging?)
+    raw_err = np.linalg.norm(est_p - gt_p, axis=1)
+    buckets = {}
+    for t, e in zip(stamps, raw_err):
+        buckets.setdefault(int(t // 10) * 10, []).append(e)
+    err_by_10s = {f"{k}s": round(float(np.mean(v)), 4)
+                  for k, v in sorted(buckets.items())}
 
     steady_wall = wall - (t_half_wall - t0)
     steady_frames = n_frames - half_frames
     sm = mapper.smoother
     return {
         "mode": mode,
-        "runtime": runtime,
+        "runtime": runtime + ("/rt" if feed == "realtime" else ""),
         "backend": jax.default_backend(),
         "duration_s": duration_s,
         "n_frames": n_frames,
@@ -174,6 +200,7 @@ def run_session(mode: str, duration_s: float, runtime: str,
         "steady_rtf": round((duration_s / 2)
                             / max(steady_wall, 1e-9), 3),
         "ate_rmse_cm": round(100 * ate, 3),
+        "raw_err_by_10s_m": err_by_10s,
         "n_solves": sm.solve_count,
         "dropped": dict(getattr(mapper, "dropped", {})),
     }
@@ -189,12 +216,16 @@ def main():
     ap.add_argument("--max-states", type=int, default=64)
     ap.add_argument("--pipelined", type=int, default=1,
                     help="device-resident pipelined scan registration")
+    ap.add_argument("--feed", default=None, choices=["drain", "realtime"],
+                    help="event pacing (default: drain for sync runtimes, "
+                    "realtime for threaded)")
     ap.add_argument("--out", default=None,
                     help="append a markdown row to this file")
     args = ap.parse_args()
 
     r = run_session(args.mode, args.duration, args.runtime, args.lag,
-                    args.max_states, pipelined=bool(args.pipelined))
+                    args.max_states, pipelined=bool(args.pipelined),
+                    feed=args.feed)
     print(json.dumps(r, indent=2))
     if args.out:
         exists = os.path.exists(args.out)
