@@ -207,10 +207,11 @@ def _radius_moments(query, ref, ref_valid, rad: float, chunk: int = 512):
     """Zeroth/first/second moments of each query's fixed-radius neighborhood
     — the TPU-native correspondence search.
 
-    On TPU this dispatches to the fused Pallas kernel
-    (ops/pallas_moments.py: distance blocks live only in VMEM, ~3x faster
-    than the blocked-matmul XLA form below at registration shapes);
-    BEAM_SLAM_MOMENTS_BACKEND=xla forces the XLA path (the parity oracle).
+    Backends: the blocked-matmul XLA form below is the DEFAULT — it is the
+    measured winner (the fused Pallas attempt in ops/pallas_moments.py
+    clocks ~1.9x SLOWER at registration shapes: 6.2 vs 3.3 ms; its
+    docstring has the numbers). BEAM_SLAM_MOMENTS_BACKEND=pallas opts into
+    the Pallas kernel for A/B runs only.
 
     Instead of gather-based k-NN (sort + irregular HBM gathers), accumulate
       n  = Σ_r [d²(q,r) < rad²]            (count)

@@ -169,6 +169,7 @@ class ImuPreintegrationModel:
         # constraint ↔ raw-data map (the reference ImuBuffer,
         # inertial_odometry.h:33-69) — needed for BreakupConstraint
         self.factor_data: dict = {}  # (t_i, t_j) -> (dts, w, a)
+        self.factor_delta: dict = {}  # (t_i, t_j) -> (Delta, bg_lin, ba_lin)
         self._np_delta: Optional[_NpStateDelta] = None
 
     # -- lifecycle ---------------------------------------------------------
@@ -324,6 +325,16 @@ class ImuPreintegrationModel:
         txn.add_imu_relative(self.t_kf, t_new, d, self.bg, self.ba,
                              info_weight=self.params.info_weight)
         self.factor_data[(self.t_kf, t_new)] = (dts, w, a)
+        # delta + linearization biases for the O(1) async-notify rebase
+        # (first-order bias correction instead of re-integration)
+        self.factor_delta[(self.t_kf, t_new)] = (d, self.bg.copy(),
+                                                 self.ba.copy())
+        # bound both stores to the recent chain (they are only read for
+        # in-window BreakupConstraint splits and the async rebase walk; an
+        # unbounded dict leaks the whole session's IMU history)
+        for store in (self.factor_data, self.factor_delta):
+            while len(store) > 128:
+                store.pop(next(iter(store)))
 
         # advance anchor
         self.t_kf = float(t_new)
@@ -459,24 +470,54 @@ class InertialOdometry:
             # the stored factor windows forward to t_kf.
             chain = []  # factor windows t_graph -> ... -> t_kf, newest last
             t_j = t
-            for _ in range(8):  # bounded walk (async skips >1 tick at most)
+            # anchor only on a stamp the latest solve actually covered —
+            # with skipped ticks the graph holds newer states ingested
+            # mid-flight whose values are still raw seeds; rebasing on one
+            # forfeits every optimizer correction (73 cm CPU repro)
+            limit = getattr(smoother, "last_solved_stamp", None)
+            for _ in range(8):  # bounded walk (async skips a few ticks max)
                 t_i = next((ti for (ti, tj) in self.model.factor_data
                             if tj == t_j), None)
                 if t_i is None:
                     return
                 chain.append((t_i, t_j))
-                st = smoother.try_get_state(t_i)
-                if st is not None:
-                    break
+                if limit is None or t_i <= limit + 1e-9:
+                    st = smoother.try_get_state(t_i)
+                    if st is not None:
+                        break
                 t_j = t_i
             if st is None:
                 return
             q, p, v = st["q"], st["p"], st["v"]
             bg, ba = st["bg"], st["ba"]
             for (t_i, t_j) in reversed(chain):
-                dts, w, a = self.model.factor_data[(t_i, t_j)]
-                d = pre.preintegrate_np(dts, w, a, bg, ba, self.model.noise,
-                                        compute_information=False)
+                stored = self.model.factor_delta.get((t_i, t_j))
+                if stored is not None:
+                    # O(1) first-order bias correction through the stored
+                    # preintegration Jacobians (the same correction the
+                    # 15-dof factor applies, preintegrator.h:64-70) — a
+                    # full re-integration here cost ~18 ms per notify in
+                    # the round-5 session profile
+                    d, bg_lin, ba_lin = stored
+                    dbg = np.asarray(bg, np.float64) - bg_lin
+                    dba = np.asarray(ba, np.float64) - ba_lin
+                    q_c = np.asarray(lie.quat_mul(
+                        np.asarray(d.q, np.float64),
+                        np.asarray(lie.so3_exp_quat(
+                            np.asarray(d.dq_dbg, np.float64) @ dbg))))
+                    d = dataclasses.replace(
+                        d, q=q_c,
+                        p=np.asarray(d.p, np.float64)
+                        + np.asarray(d.dp_dbg, np.float64) @ dbg
+                        + np.asarray(d.dp_dba, np.float64) @ dba,
+                        v=np.asarray(d.v, np.float64)
+                        + np.asarray(d.dv_dbg, np.float64) @ dbg
+                        + np.asarray(d.dv_dba, np.float64) @ dba)
+                else:
+                    dts, w, a = self.model.factor_data[(t_i, t_j)]
+                    d = pre.preintegrate_np(dts, w, a, bg, ba,
+                                            self.model.noise,
+                                            compute_information=False)
                 q, p, v = pre.predict_state_np(d, q, p, v)
             st = dict(q=np.asarray(q), p=np.asarray(p), v=np.asarray(v),
                       bg=np.asarray(bg), ba=np.asarray(ba))

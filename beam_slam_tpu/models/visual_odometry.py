@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from beam_slam_tpu.core import lie
 from beam_slam_tpu.models.visual_feature_tracker import CameraMeasurement
 from beam_slam_tpu.solver.smoother import FixedLagSmoother, Transaction
-from beam_slam_tpu.vision import geometry as geo
+from beam_slam_tpu.vision import geometry as geo  # noqa: F401 (batch path)
+from beam_slam_tpu.vision import geometry_np as gnp
 from beam_slam_tpu.vision.camera import PinholeRadtan
 
 
@@ -149,22 +150,28 @@ class VisualOdometry:
 
     # -- frames ------------------------------------------------------------
     def _camera_extrinsic(self):
+        # host numpy: eager jnp ops here are a remote-device round trip
+        # EACH, and this runs several times per camera frame
         e = self.graph.ext_slot_of_name[self.sensor]
-        return (jnp.asarray(self.graph.ext_q[e]),
-                jnp.asarray(self.graph.ext_p[e]))
+        return (np.asarray(self.graph.ext_q[e], np.float32),
+                np.asarray(self.graph.ext_p[e], np.float32))
 
     def _camera_pose(self, q_wb, p_wb):
         q_bc, p_bc = self._camera_extrinsic()
-        q_wc = lie.quat_mul(jnp.asarray(q_wb), q_bc)
-        p_wc = jnp.asarray(p_wb) + lie.quat_rotate(jnp.asarray(q_wb), p_bc)
+        q_wb = np.asarray(q_wb, np.float32)
+        p_wb = np.asarray(p_wb, np.float32)
+        q_wc = np.asarray(lie.quat_mul(q_wb, q_bc))
+        p_wc = p_wb + np.asarray(lie.quat_rotate(q_wb, p_bc))
         return q_wc, p_wc
 
     def _baselink_from_camera(self, q_wc, p_wc):
         q_bc, p_bc = self._camera_extrinsic()
-        q_cb = lie.quat_conj(q_bc)
-        p_cb = -lie.quat_rotate(q_cb, p_bc)
-        q_wb = lie.quat_mul(q_wc, q_cb)
-        p_wb = p_wc + lie.quat_rotate(q_wc, p_cb)
+        q_wc = np.asarray(q_wc, np.float32)
+        p_wc = np.asarray(p_wc, np.float32)
+        q_cb = np.asarray(lie.quat_conj(q_bc))
+        p_cb = -np.asarray(lie.quat_rotate(q_cb, p_bc))
+        q_wb = np.asarray(lie.quat_mul(q_wc, q_cb))
+        p_wb = p_wc + np.asarray(lie.quat_rotate(q_wc, p_cb))
         return q_wb, p_wb
 
     def initialize(self, stamp: float):
@@ -185,7 +192,7 @@ class VisualOdometry:
         st = self.graph.get_state(anchor_stamp)
         q_wc, p_wc = self._camera_pose(st["q"], st["p"])
         X_a = np.array([bearing[0], bearing[1], 1.0], np.float32) / rho
-        return np.asarray(lie.quat_rotate(q_wc, jnp.asarray(X_a)) + p_wc)
+        return np.asarray(lie.quat_rotate(np.asarray(q_wc), X_a)) + p_wc
 
     # -- localization ------------------------------------------------------
     def _localize(self, meas: CameraMeasurement, q_seed_wb, p_seed_wb):
@@ -212,17 +219,21 @@ class VisualOdometry:
             return np.asarray(q_seed_wb), np.asarray(p_seed_wb), False
 
         q_wc0, p_wc0 = self._camera_pose(q_seed_wb, p_seed_wb)
-        res = geo.refine_pose(q_wc0, p_wc0, jnp.asarray(X), jnp.asarray(uv),
-                              self.camera.intr4, jnp.asarray(valid))
-        if not bool(res.converged) \
-                or float(res.mean_error_px) > P.max_localization_error_px:
+        # host-numpy PnP (geometry_np docstring): the online per-frame
+        # refine through a remote-device tunnel cost one dispatch plus
+        # several eager-gate round trips PER FRAME; the math is µs on host.
+        # The jitted geo.refine_pose remains the batch/offline path.
+        res = gnp.refine_pose_np(q_wc0, p_wc0, X, uv,
+                                 np.asarray(self.camera.intr4), valid)
+        if not res.converged \
+                or res.mean_error_px > P.max_localization_error_px:
             return np.asarray(q_seed_wb), np.asarray(p_seed_wb), False
         # statistical validation on (correction, covariance-entropy,
         # reprojection) — VOLocalizationValidation (vo_localization_
         # validation.cpp Validate: rolling mean ± 2σ/5σ gates)
-        dp = float(jnp.linalg.norm(res.p - p_wc0))
-        dth = float(jnp.linalg.norm(lie.so3_log(
-            lie.quat_mul(lie.quat_conj(res.q), q_wc0))))
+        dp = float(np.linalg.norm(res.p - p_wc0))
+        dth = float(np.linalg.norm(np.asarray(lie.so3_log(np.asarray(
+            lie.quat_mul(np.asarray(lie.quat_conj(res.q)), q_wc0))))))
         cov = np.linalg.inv(np.asarray(res.information, np.float64)
                             + 1e-9 * np.eye(6))
         if not self.validation.validate(dth, dp, cov,
@@ -302,30 +313,34 @@ class VisualOdometry:
             q0_wb, p0_wb = st0["q"], st0["p"]
             q0_wc, p0_wc = self._camera_pose(q0_wb, p0_wb)
             q1_wc, p1_wc = self._camera_pose(*self._current_pose)
-            ray0 = self.camera.back_project(jnp.asarray(uv0))
-            ray1 = self.camera.back_project(jnp.asarray(uv))
-            X, ok = geo.triangulate_dlt(q0_wc, p0_wc, q1_wc, p1_wc,
-                                        ray0, ray1)
-            if not bool(ok):
+            # host-numpy triangulation + gates: the device versions cost a
+            # dispatch + an eager bool() round trip PER CANDIDATE landmark
+            # through a remote-TPU tunnel (geometry_np docstring)
+            fx, fy, cx, cy = [float(x) for x in np.asarray(intr)]
+            ray0 = np.asarray([(float(uv0[0]) - cx) / fx,
+                               (float(uv0[1]) - cy) / fy, 1.0])
+            ray1 = np.asarray([(float(uv[0]) - cx) / fx,
+                               (float(uv[1]) - cy) / fy, 1.0])
+            X, ok = gnp.triangulate_dlt_np(q0_wc, p0_wc, q1_wc, p1_wc,
+                                           ray0 / np.linalg.norm(ray0),
+                                           ray1 / np.linalg.norm(ray1))
+            if not ok:
                 continue
-            gate = geo.triangulation_reprojection_gate(
-                q1_wc, p1_wc, self.camera.intr4, X, jnp.asarray(uv),
-                P.max_triangulation_reproj_px)
-            gate0 = geo.triangulation_reprojection_gate(
-                q0_wc, p0_wc, self.camera.intr4, X, jnp.asarray(uv0),
-                P.max_triangulation_reproj_px)
-            if not (bool(gate) and bool(gate0)):
+            if not (gnp.reproj_gate_np(q1_wc, p1_wc, intr, X, uv,
+                                       P.max_triangulation_reproj_px)
+                    and gnp.reproj_gate_np(q0_wc, p0_wc, intr, X, uv0,
+                                           P.max_triangulation_reproj_px)):
                 continue
             if idp:
                 # anchor at the first keyframe observation; ρ from the
                 # triangulated depth in the anchor camera frame
                 # (ProcessLandmarkIDP, visual_odometry.cpp:722-788)
-                X_a = lie.quat_rotate(lie.quat_conj(q0_wc),
-                                      X - jnp.asarray(p0_wc))
+                X_a = np.asarray(lie.quat_rotate(
+                    np.asarray(lie.quat_conj(np.asarray(q0_wc))),
+                    np.asarray(X) - np.asarray(p0_wc)))
                 depth = float(X_a[2])
                 if depth < 0.1:
                     continue
-                fx, fy, cx, cy = [float(v) for v in np.asarray(intr)]
                 bearing = np.asarray([(uv0[0] - cx) / fx, (uv0[1] - cy) / fy],
                                      np.float32)
                 self.idp_anchor[lm_id] = (t0, bearing)
@@ -413,9 +428,10 @@ class VisualOdometry:
                     and meas.stamp in self.local_smoother.slot_of_stamp):
                 a = self.local_smoother.get_state(prev_kf)
                 b = self.local_smoother.get_state(meas.stamp)
-                q_ai = lie.quat_conj(jnp.asarray(a["q"]))
-                dq = lie.quat_mul(q_ai, jnp.asarray(b["q"]))
-                dp = lie.quat_rotate(q_ai, jnp.asarray(b["p"] - a["p"]))
+                q_ai = np.asarray(lie.quat_conj(np.asarray(a["q"])))
+                dq = np.asarray(lie.quat_mul(q_ai, np.asarray(b["q"])))
+                dp = np.asarray(lie.quat_rotate(q_ai,
+                                                np.asarray(b["p"] - a["p"])))
                 # inflate covariance 100x when this keyframe's localization
                 # fell back to the seed (visual_odometry.cpp:267-284)
                 cov = self.params.standalone_rel_cov

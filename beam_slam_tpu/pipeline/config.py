@@ -171,9 +171,10 @@ class LocalMapperConfig:
     map_size: int = 10
     # device-resident map + 1-deep async registration pipeline (zero
     # blocking host<->device round trips per scan; factors arrive one scan
-    # late). The TPU-session runtime default; sync strategies remain the
-    # deterministic-test default.
-    pipelined_registration: bool = False
+    # late). DEFAULT since round 5: it is the tested fast path (9 behavior
+    # tests + the 60 s TPU sessions in docs/TPU_SESSION.md; the host-map
+    # tunnel path cost ~260 ms/scan through a remote-TPU backend).
+    pipelined_registration: bool = True
     # JSON sub-config tier (reference lio.yaml:55-59 registration_config /
     # matcher_config / input_filters_config — paths relative to config_root)
     config_root: Optional[str] = None
@@ -203,9 +204,13 @@ class LocalMapperConfig:
     # GravityAlignment plugin (roll/pitch anchoring factors per keyframe)
     use_gravity_alignment: bool = True
     # double-buffered optimizer tick (solve dispatched async, harvested next
-    # tick) — the reference's optimizer-thread overlap; essential on remote
-    # device backends where blocking on the solve costs a full round trip
-    async_solve: bool = False
+    # tick) — the reference's optimizer-thread overlap (its smoother ALWAYS
+    # solves on a dedicated thread); essential on remote device backends
+    # where blocking on the solve costs a full round trip. DEFAULT since
+    # round 5: the async notify/rebase path is fixed and guarded by
+    # tests/test_async_pipeline_e2e.py. Set False for bit-deterministic
+    # offline runs (the ATE oracle table pins it off).
+    async_solve: bool = True
     # ticks to skip while a solve is in flight before block-harvesting.
     # 0 = harvest (blocking) every tick: one tick of staleness, every tick
     # solved — the accuracy-safe default. Through a remote-TPU tunnel
@@ -218,6 +223,36 @@ class LocalMapperConfig:
     init: InitParams = dataclasses.field(default_factory=InitParams)
     calibration: CalibrationConfig = dataclasses.field(
         default_factory=CalibrationConfig)
+    # apply the reference's per-mode information-weight tier as defaults
+    # (beam_slam_launch/config/optimization/{lio,vio,lvio}_information_
+    # weights.json, wired by {lio,vio,lvio}.yaml:5). Round-5 finding: the
+    # LVIO tier (lidar 100 vs reprojection 1) is LOAD-BEARING — without it
+    # ~3000 reprojection factors carry ~7x the lidar factors' position
+    # information and LVIO degrades to vision-level drift (9.45 cm vs
+    # 1.20 cm on the 60 s benchmark; docs/ATE.md). False = keep the plain
+    # dataclass defaults (unit weights).
+    reference_information_weights: bool = True
+
+    def __post_init__(self):
+        if not self.reference_information_weights:
+            return
+        # values from the reference tier; a config_tweak hook, the
+        # information_weights_config JSON tier, or direct field writes
+        # AFTER construction still override these.
+        #
+        # Applied selectively after measurement (tools/diagnose_lvio.py
+        # sweeps, 60 s benchmark): the LVIO lidar boost closes the
+        # LVIO-worse-than-LIO inversion (9.45 -> 1.20 cm); the LIO tier's
+        # inertial down-weight (1e-2) is tuned to the reference robot's
+        # IMU and REGRESSES the synthetic envelope 1.8 -> 38 cm, so LIO
+        # keeps unit inertial weight.
+        mode = self.mode.upper()
+        self.gravity_info_weight = 10.0
+        if mode == "VIO":
+            self.vo.standalone_rel_cov = 1.0 / (100.0 ** 2)
+        elif mode == "LVIO":
+            self.scan_registration.covariance_weight = 1.0 / (100.0 ** 2)
+            self.vo.standalone_rel_cov = 1.0 / (10.0 ** 2)
 
     def smoother_config(self) -> SmootherConfig:
         # right-size the factor arenas to the pipeline: every allocated

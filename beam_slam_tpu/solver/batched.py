@@ -32,6 +32,7 @@ the generic vmapped solve.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -473,7 +474,7 @@ def assemble_shared_chunked(window_b: WindowState, families_b, losses,
 
 
 def lm_loop_batched(window_b: WindowState, assemble, n_iter,
-                    options: gn.SolverOptions):
+                    options: gn.SolverOptions, chol_backend=None):
     """Batched LM: per-window damping / accept / convergence latch. Mirrors
     gn.lm_loop with [B]-shaped scalars."""
     B = window_b.imu.q.shape[0]
@@ -483,15 +484,14 @@ def lm_loop_batched(window_b: WindowState, assemble, n_iter,
                                    jnp.zeros((1,), bool)]))(window_b)
     lm_free = window_b.landmarks.active & ~window_b.landmarks.held
 
-    solve_damped = jax.vmap(gn._solve_damped)
-
     H0, g0, H_ll0, g_l0, W0, init_cost = assemble(window_b)
 
     def step(carry, _):
         win, (H, g, H_ll, g_l, W), lam, cost, done, iters, attempt = carry
         active = ~done & (attempt < n_iter)
-        delta, delta_l, ok = solve_damped(H, g, free, lam, H_ll, g_l, W,
-                                          lm_free)
+        delta, delta_l, ok = gn.solve_damped_batched(
+            H, g, free, lam, H_ll, g_l, W, lm_free,
+            backend=chol_backend)
         trial = jax.vmap(
             lambda w, d, dl: w.retract_dense(d[:-1]).replace(
                 landmarks=w.landmarks.retract(dl)))(win, delta, delta_l)
@@ -532,10 +532,10 @@ def lm_loop_batched(window_b: WindowState, assemble, n_iter,
     return window_b, diag
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 5, 6, 7))
 def _solve_shared_impl(window_b, families_b, losses,
                        options: gn.SolverOptions, n_iter, asm_chunk: int,
-                       f_chunk: int):
+                       f_chunk: int, chol_backend):
     if asm_chunk:
         assemble = lambda w: assemble_shared_chunked(  # noqa: E731
             w, families_b, losses, chunk=asm_chunk)
@@ -543,14 +543,15 @@ def _solve_shared_impl(window_b, families_b, losses,
         templates = tuple(_first(f) for f in families_b)
         assemble = lambda w: assemble_shared(          # noqa: E731
             w, families_b, losses, templates=templates, f_chunk=f_chunk)
-    return lm_loop_batched(window_b, assemble, n_iter, options)
+    return lm_loop_batched(window_b, assemble, n_iter, options,
+                           chol_backend=chol_backend)
 
 
 def solve_batched_shared(window_b: WindowState, families_b,
                          losses: Tuple[Optional[float], ...],
                          options: gn.SolverOptions = gn.SolverOptions(),
                          check: bool = False, asm_chunk: int = 8,
-                         f_chunk: int = 0):
+                         f_chunk: int = 0, chol_backend=None):
     """Batched LM over B same-topology windows. ``check=True`` validates the
     shared-topology contract on host (requires concrete arrays).
 
@@ -576,5 +577,10 @@ def solve_batched_shared(window_b: WindowState, families_b,
     sl = options.scan_length or options.max_iterations
     n_iter = jnp.asarray(min(options.max_iterations, sl), jnp.int32)
     static = options._replace(max_iterations=0, scan_length=sl)
+    if chol_backend is None:
+        # resolved OUTSIDE jit: the choice is a static compile-time switch
+        chol_backend = os.environ.get("BEAM_SLAM_CHOL_BACKEND", "") or (
+            "pallas" if jax.default_backend() == "tpu"
+            and window_b.imu.q.shape[0] >= 8 else "xla")
     return _solve_shared_impl(window_b, families_b, losses, static, n_iter,
-                              asm_chunk, f_chunk)
+                              asm_chunk, f_chunk, chol_backend)

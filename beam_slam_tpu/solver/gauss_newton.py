@@ -29,6 +29,7 @@ of H (and W / H_ll for landmarks) and pinning those dof to zero update.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -506,14 +507,10 @@ def total_cost(window: WindowState, families: Sequence,
 
 
 
-def _solve_damped(H, g, free, lam, H_ll, g_l, W, lm_free):
-    """Schur-reduced damped solve.
-
-    Dense part: (S·H_red·S + λI) y = S·g_red with Jacobi scaling S — the
-    float32-conditioning workhorse (SURVEY.md §7 'Double precision' risk).
-    Landmarks: per-slot 3×3 inverses of (H_ll + λ·diag(H_ll)), masked by
-    ``lm_free``; back-substituted after the reduced solve.
-    """
+def _damped_reduced_system(H, g, free, lam, H_ll, g_l, W, lm_free):
+    """Phase A of the Schur-reduced damped solve: mask, landmark Schur
+    complement, Jacobi scaling, damping, 128-padding. Returns the padded
+    SPD system (Hp, gp) plus the back-substitution context."""
     dtype = H.dtype
     Dp = H.shape[0]
     L = H_ll.shape[0]
@@ -561,9 +558,14 @@ def _solve_damped(H, g, free, lam, H_ll, g_l, W, lm_free):
         gp = jnp.zeros((Dp + pad,), dtype).at[:Dp].set(gs)
     else:
         Hp, gp = Hs, gs
-    Lc = jnp.linalg.cholesky(Hp)
-    y = jax.scipy.linalg.cho_solve((Lc, True), gp)[:Dp]
-    delta = y * s * freef
+    return Hp, gp, (s, freef, lmf, Hll_inv, Wr, g_l)
+
+
+def _damped_backsub(y, ctx):
+    """Phase B: unscale the reduced solution, back-substitute landmarks."""
+    s, freef, lmf, Hll_inv, Wr, g_l = ctx
+    Dp = s.shape[0]
+    delta = y[:Dp] * s * freef
 
     # landmark back-substitution: δ_l = Hll⁻¹ (g_l − Wᵀ δ_p)
     rhs_l = g_l - jnp.einsum("dlk,d->lk", Wr, delta)
@@ -573,6 +575,52 @@ def _solve_damped(H, g, free, lam, H_ll, g_l, W, lm_free):
     delta = jnp.where(ok, delta, jnp.zeros_like(delta))
     delta_l = jnp.where(ok, delta_l, jnp.zeros_like(delta_l))
     return delta, delta_l, ok
+
+
+def _solve_damped(H, g, free, lam, H_ll, g_l, W, lm_free):
+    """Schur-reduced damped solve.
+
+    Dense part: (S·H_red·S + λI) y = S·g_red with Jacobi scaling S — the
+    float32-conditioning workhorse (SURVEY.md §7 'Double precision' risk).
+    Landmarks: per-slot 3×3 inverses of (H_ll + λ·diag(H_ll)), masked by
+    ``lm_free``; back-substituted after the reduced solve.
+    """
+    Hp, gp, ctx = _damped_reduced_system(H, g, free, lam, H_ll, g_l, W,
+                                         lm_free)
+    Lc = jnp.linalg.cholesky(Hp)
+    y = jax.scipy.linalg.cho_solve((Lc, True), gp)
+    return _damped_backsub(y, ctx)
+
+
+def solve_damped_batched(H, g, free, lam, H_ll, g_l, W, lm_free,
+                         backend: Optional[str] = None):
+    """Batched damped Schur solve over a leading batch axis.
+
+    ``backend='pallas'`` routes the padded SPD systems through the fused
+    batched Cholesky factor+solve kernel (ops/pallas_cholesky.py) — XLA's
+    batched ``cholesky`` is a serial loop over the batch (5.6 ms at B=32
+    for the flagship 640² system, 74% of this whole function); the kernel
+    factors the chunk simultaneously. 'xla' keeps the vmapped
+    cholesky+cho_solve. Default: pallas on TPU for B >= 8, else xla
+    (overridable with BEAM_SLAM_CHOL_BACKEND).
+
+    Every argument carries the leading batch axis."""
+    B = H.shape[0]
+    if backend is None:
+        backend = os.environ.get("BEAM_SLAM_CHOL_BACKEND", "")
+    if not backend:
+        backend = ("pallas" if jax.default_backend() == "tpu" and B >= 8
+                   else "xla")
+    if backend == "xla":
+        return jax.vmap(_solve_damped)(H, g, free, lam, H_ll, g_l, W,
+                                       lm_free)
+
+    from beam_slam_tpu.ops import pallas_cholesky as pc
+
+    Hp, gp, ctx = jax.vmap(_damped_reduced_system)(
+        H, g, free, lam, H_ll, g_l, W, lm_free)
+    y = pc.cholesky_solve_batched(Hp, gp)
+    return jax.vmap(_damped_backsub)(y, ctx)
 
 
 def solve(

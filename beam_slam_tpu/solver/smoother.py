@@ -589,6 +589,9 @@ class FixedLagSmoother:
             solve_downshifts=0)
         self._cov_cache: Dict[Stamp, np.ndarray] = {}
         self._inflight: Optional[tuple] = None  # async double-buffered solve
+        # newest stamp covered by the latest harvested/applied solve; None
+        # until the first solve (sync _pull_back covers every live stamp)
+        self.last_solved_stamp: Optional[float] = None
         self._async_skipped = 0  # consecutive ticks skipped on the inflight
 
     # -- public API ---------------------------------------------------------
@@ -1309,6 +1312,8 @@ class FixedLagSmoother:
         self.lm_pt = np.array(lm_pt)
         self.mot_w = np.array(mot_w)
         self.mot_a = np.array(mot_a)
+        if self.slot_of_stamp:  # sync solve covers every live stamp
+            self.last_solved_stamp = max(self.slot_of_stamp)
 
     # -- the optimizer tick (optimizationLoop body,
     #    fixed_lag_smoother.cpp:166-311) ------------------------------------
@@ -1413,7 +1418,15 @@ class FixedLagSmoother:
         if self._inflight is not None:
             out, diag, snapshot = self._inflight
             leaves = jax.tree_util.tree_leaves(out)
-            if not all(x.is_ready() for x in leaves):
+            # BEAM_SLAM_ASYNC_FORCE_SKIP: treat the in-flight solve as
+            # not-ready for the first N checks — deterministic CPU
+            # reproduction of the skipped-tick path (on a fast backend
+            # is_ready() is always true and the skip logic never runs)
+            force = int(os.environ.get("BEAM_SLAM_ASYNC_FORCE_SKIP", "0"))
+            ready = all(x.is_ready() for x in leaves)
+            if force and self._async_skipped < force:
+                ready = False
+            if not ready:
                 if self._async_skipped < self.cfg.async_max_skipped_ticks:
                     self._async_skipped += 1
                     self._process_queue()  # keep ingesting under the solve
@@ -1423,15 +1436,12 @@ class FixedLagSmoother:
                 # (see async_max_skipped_ticks)
                 jax.block_until_ready(out)
             self._async_skipped = 0
+            # _harvest runs the notify fan-out (fixed_lag_smoother.cpp:308)
+            # — the round-3 lesson; do NOT notify a second time here (the
+            # round-4 double fan-out cost a full IO/lidar/VO update pass
+            # per tick for nothing).
             self._harvest(out, diag, snapshot)
             harvested = diag
-            # notify fan-out (fixed_lag_smoother.cpp:308) — the sync path
-            # runs this after every solve; skipping it in async mode left
-            # the IMU odometry without graph rebasing and the lidar model
-            # without scan-pose updates, so seeds dead-reckoned and the
-            # session ATE degraded ~40x (round-3's 133 cm TPU session).
-            for cb in self._on_update:
-                cb(self)
         if not self._pending and not self.slot_of_stamp:
             return harvested
         self._process_queue()
@@ -1456,9 +1466,7 @@ class FixedLagSmoother:
             # effects from async bookkeeping bugs
             out, diag, snapshot = self._inflight
             jax.block_until_ready(out)
-            self._harvest(out, diag, snapshot)
-            for cb in self._on_update:
-                cb(self)
+            self._harvest(out, diag, snapshot)  # runs the notify fan-out
             harvested = diag
         return harvested
 
@@ -1470,9 +1478,7 @@ class FixedLagSmoother:
             return self.last_diagnostics
         out, diag, snapshot = self._inflight
         jax.block_until_ready(out)
-        self._harvest(out, diag, snapshot)
-        for cb in self._on_update:
-            cb(self)
+        self._harvest(out, diag, snapshot)  # runs the notify fan-out
         return diag
 
     def _harvest(self, out: WindowState, diag, snapshot):
@@ -1489,6 +1495,14 @@ class FixedLagSmoother:
              out.extrinsics.q, out.extrinsics.p,
              out.motion.w, out.motion.a, out.landmarks.pt))
         same = self.state_active & (gen_snap == self.state_gen)
+        # newest stamp this harvest actually updated: notify consumers must
+        # re-base on a SOLVED state — with skipped ticks the graph already
+        # holds newer states ingested mid-flight whose mirrors are raw
+        # seeds (anchoring on one silently forfeits every correction — the
+        # round-5 skip-ticks 73 cm CPU repro)
+        solved = [self.stamp_of_slot[s] for s in np.nonzero(same)[0]
+                  if s in self.stamp_of_slot]
+        self.last_solved_stamp = max(solved) if solved else None
         self.q[same] = q[same]
         self.p[same] = p[same]
         self.v[same] = v[same]

@@ -85,6 +85,12 @@ def main():
     ap.add_argument("--max-states", type=int, default=None)
     ap.add_argument("--reproj-weight", type=float, default=None,
                     help="override the reprojection information weight")
+    ap.add_argument("--lidar-weight", type=float, default=None,
+                    help="lidar information weight w (covariance 1/w² — "
+                    "the reference's lvio_information_weights.json uses "
+                    "100.0)")
+    ap.add_argument("--gravity-weight", type=float, default=None,
+                    help="gravity information weight (reference: 10.0)")
     ap.add_argument("--async-solve", action="store_true",
                     help="double-buffered async optimizer tick (the TPU "
                     "session runtime)")
@@ -156,6 +162,11 @@ def main():
     def tweak(cfg):
         if args.reproj_weight is not None:
             cfg.vo.reprojection_info_weight = args.reproj_weight
+        if args.lidar_weight is not None:
+            cfg.scan_registration.covariance_weight = \
+                1.0 / (args.lidar_weight ** 2)
+        if args.gravity_weight is not None:
+            cfg.gravity_info_weight = args.gravity_weight
         if args.async_solve:
             cfg.async_solve = True
         if args.marg_cov is not None:

@@ -44,7 +44,7 @@ compile_cache.enable()
 
 def run_session(mode: str, duration_s: float, runtime: str,
                 lag_s: float, max_states: int, pipelined: bool = True,
-                feed: str = None):
+                feed: str = None, skip_ticks: int = 0):
     from beam_slam_tpu.models.slam_initialization import InitParams
     from beam_slam_tpu.pipeline.config import (CalibrationConfig,
                                                LocalMapperConfig)
@@ -70,6 +70,10 @@ def run_session(mode: str, duration_s: float, runtime: str,
         # double-buffered solve: ticks dispatch without blocking (the
         # reference's optimizer-thread overlap)
         async_solve=(runtime != "sync_blocking"),
+        # >0: let N ticks pass while a solve is in flight before the
+        # blocking harvest — trades solve cadence for per-tick headroom
+        # (the remote-tunnel dispatch+harvest tax is fixed per solve)
+        async_max_skipped_ticks=skip_ticks,
         init=InitParams(mode="LIDAR" if mode != "VIO" else "FRAMEINIT",
                         min_trajectory_length_m=1.5, min_observability=0.1),
         calibration=CalibrationConfig(
@@ -219,13 +223,15 @@ def main():
     ap.add_argument("--feed", default=None, choices=["drain", "realtime"],
                     help="event pacing (default: drain for sync runtimes, "
                     "realtime for threaded)")
+    ap.add_argument("--skip-ticks", type=int, default=0,
+                    help="async_max_skipped_ticks (solve every N+1th tick)")
     ap.add_argument("--out", default=None,
                     help="append a markdown row to this file")
     args = ap.parse_args()
 
     r = run_session(args.mode, args.duration, args.runtime, args.lag,
                     args.max_states, pipelined=bool(args.pipelined),
-                    feed=args.feed)
+                    feed=args.feed, skip_ticks=args.skip_ticks)
     print(json.dumps(r, indent=2))
     if args.out:
         exists = os.path.exists(args.out)
