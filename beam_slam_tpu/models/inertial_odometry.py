@@ -490,8 +490,11 @@ class InertialOdometry:
                 return
             q, p, v = st["q"], st["p"], st["v"]
             bg, ba = st["bg"], st["ba"]
+            import os as _os
+            reintegrate = _os.environ.get("BEAM_SLAM_REBASE_REINTEGRATE")
             for (t_i, t_j) in reversed(chain):
-                stored = self.model.factor_delta.get((t_i, t_j))
+                stored = (None if reintegrate
+                          else self.model.factor_delta.get((t_i, t_j)))
                 if stored is not None:
                     # O(1) first-order bias correction through the stored
                     # preintegration Jacobians (the same correction the

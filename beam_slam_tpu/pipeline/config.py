@@ -241,13 +241,18 @@ class LocalMapperConfig:
         # AFTER construction still override these.
         #
         # Applied selectively after measurement (tools/diagnose_lvio.py
-        # sweeps, 60 s benchmark): the LVIO lidar boost closes the
-        # LVIO-worse-than-LIO inversion (9.45 -> 1.20 cm); the LIO tier's
-        # inertial down-weight (1e-2) is tuned to the reference robot's
-        # IMU and REGRESSES the synthetic envelope 1.8 -> 38 cm, so LIO
-        # keeps unit inertial weight.
+        # sweeps, 60 s benchmark; docs/diagnostics/LVIO_INVERSION.md):
+        # - the LVIO lidar boost (w=100) closes the LVIO-worse-than-LIO
+        #   inversion (9.45 -> 1.20 cm) and is adopted;
+        # - the LIO tier's inertial down-weight (1e-2) is tuned to the
+        #   reference robot's IMU and REGRESSES the synthetic envelope
+        #   1.8 -> 38 cm, so LIO keeps unit inertial weight;
+        # - the reference's gravity weight 10 wrecks the NEWEST-state
+        #   (filtering) estimate on dynamic trajectories (single-IMU-sample
+        #   gravity direction is polluted by body acceleration; measured
+        #   first-estimate ATE 1.8 -> 17.7 cm on 60 s LIO) while the
+        #   smoothed estimate stays fine — the tuned 2.0 is kept.
         mode = self.mode.upper()
-        self.gravity_info_weight = 10.0
         if mode == "VIO":
             self.vo.standalone_rel_cov = 1.0 / (100.0 ** 2)
         elif mode == "LVIO":

@@ -271,8 +271,20 @@ class ThreadedLocalMapper(LocalMapper):
 
     # -- optimizer tick --------------------------------------------------------
     def tick(self):
+        # Wait for the in-flight solve OUTSIDE the model lock: the round-5
+        # threaded/rt session measured RTF 0.18 because the optimizer
+        # thread held the lock through its blocking harvest and starved
+        # every sensor spinner (they re-enter via _trigger/_frame_init).
+        # Only this optimizer thread harvests, so the pre-wait is safe.
+        inflight = self.smoother._inflight
+        if inflight is not None:
+            import jax
+            try:
+                jax.block_until_ready(inflight[0])
+            except Exception:  # noqa: BLE001 — harvest will surface errors
+                pass
         # the smoother's notify fan-out re-enters the IMU model
-        # (update_from_graph) — take the model lock for the whole tick
+        # (update_from_graph) — take the model lock for the actual tick
         with self._model_lock:
             return super().tick()
 
