@@ -218,6 +218,12 @@ def test_real_scan_full_lio_session(real_cloud):
         mode="LIO", lag_duration=4.0, max_states=32,
         init=InitParams(mode="LIDAR", min_trajectory_length_m=1.0,
                         min_observability=0.1))
+    # deterministic oracle: pin the sync/host path (the async + pipelined
+    # deployment defaults carry a measured one-tick-staleness accuracy
+    # cost covered by tests/test_async_pipeline_e2e.py; this test asserts
+    # the tightest host-path bound on real scan data)
+    cfg.async_solve = False
+    cfg.pipelined_registration = False
     mapper = LocalMapper(cfg)
 
     n = int(T * imu_rate)
